@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pin + pre-touch the heap: lazily-faulted heap pages put this VM's
+  // kernel at 50-90% sys CPU under 32 compute threads (observed via
+  // vmstat), serializing the whole job on page zeroing
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
+  // throughput collector: this workload is allocation-heavy batch (per-turn
+  // objects in detect/triple stages); G1's concurrent cycles cost ~15-25%
+  // wall vs ParallelGC here
+  "-XX:+UseParallelGC",
 )

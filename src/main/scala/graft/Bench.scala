@@ -1,24 +1,104 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every SparkEntry query at
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
+  *
+  * The KG pipeline itself is covered by the q21–q24 entries (each runs the
+  * full detect→link→canon→triples flow over the synthesized transcript
+  * corpus sized for the sf dir); `graft.Scaling` produces the two-
+  * parallelism throughput/efficiency evidence for BENCH.md.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    new java.io.File("/dev/shm/graft-spark").mkdirs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // data-driven partition count (AQE coalesces small stages); tmpfs
+      // shuffle dirs keep the measurement CPU-bound, not VM-disk-bound
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+}
+
+/** Two-parallelism scaling evidence (sandbox stand-in for N vs 4N
+  * executors, per BASELINE.md): runs the identical KG pipeline job on the
+  * identical synthesized input at local[8] and local[32], reports turns/sec
+  * at both plus scaling efficiency = (thr_32 / thr_8) / 4.
+  *
+  * Usage: runMain graft.Scaling [nConvs] — writes markdown rows to stdout.
+  */
+object Scaling {
+  def run(cores: Int, nConvs: Long, repeats: Int = 2): (Long, Double) = {
+    new java.io.File("/dev/shm/graft-spark").mkdirs()
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      // partition count is DATA-driven, identical at both parallelism levels
+      // (only cores change): 128 keeps reduce partitions ~tens-of-MB at the
+      // bench corpus so the low-core leg never tips into sort spill; AQE
+      // coalesces away the excess on small stages
+      .config("spark.sql.shuffle.partitions", "128")
+      .config("spark.default.parallelism", "128")
+      // shuffle files on tmpfs: the sandbox VM's disk throttles ~300MB/s,
+      // which caps the high-core leg on I/O instead of CPU (a real cluster
+      // node's NVMe wouldn't); we measure CPU scaling, not VM disk
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen warmup at 1/10 scale so the first-measured leg isn't
+    // penalized for compiling the whole-stage-codegen classes
+    stages.Pipeline.run(spark, math.max(20L, nConvs / 10), seed = 7L).triples.count()
+    val nTurns = synth.Transcripts.turns(spark, nConvs).count() // corpus size
+    val best = (1 to repeats).map { i =>
+      val t0 = System.nanoTime()
+      val r = stages.Pipeline.run(spark, nConvs)
+      val nTriples = r.triples.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // drop this rep's persisted stages (incl. Link's internal cache)
+      System.err.println(s"[scaling] cores=$cores rep=$i turns=$nTurns triples=$nTriples sec=$sec")
+      sec
+    }.min
+    spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    (nTurns, nTurns / best)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nConvs = if (args.length > 0) args(0).toLong else 66000L
+    val lo = if (args.length > 1) args(1).toInt else 8
+    val hi = if (args.length > 2) args(2).toInt else lo * 4
+    val (nTurns, thrLow) = run(lo, nConvs)
+    val (_, thrHigh) = run(hi, nConvs)
+    val eff = (thrHigh / thrLow) / (hi.toDouble / lo)
+    println(f"""{"metric":"scaling","turns":$nTurns,"cores_low":$lo,"cores_high":$hi,"turns_per_sec_low":$thrLow%.1f,"turns_per_sec_high":$thrHigh%.1f,"efficiency":$eff%.3f}""")
   }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.stages._
+import graft.synth.Transcripts
+
+/** Cumulative-chain profile without persists: times each prefix of the
+  * pipeline as an independent fresh action, so stage cost = delta between
+  * consecutive prefixes. Diagnostic only.
+  * Usage: runMain graft.ProfilePure [nConvs] [cores]
+  */
+object ProfilePure {
+  def main(args: Array[String]): Unit = {
+    val nConvs = if (args.length > 0) args(0).toLong else 660000L
+    val cores = if (args.length > 1) args(1).toInt else 32
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[pure] $name%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      spark.catalog.clearCache()
+    }
+
+    // warmup
+    Pipeline.run(spark, nConvs / 10, seed = 7L).triples.count()
+    spark.catalog.clearCache()
+
+    val alias = Transcripts.aliasRows.toDF()
+    t("gen")(Transcripts.turns(spark, nConvs).count())
+    t("gen+detect") {
+      val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
+      Detect.run(Transcripts.turns(spark, nConvs), tagger).count()
+    }
+    t("gen..link") {
+      val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
+      Link.run(Detect.run(Transcripts.turns(spark, nConvs), tagger), alias).count()
+    }
+    t("cc-only")(Canon.connectedComponents(Transcripts.sameAs.toDF("src", "dst")).count())
+    t("gen..canon") {
+      val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
+      Canon.run(Link.run(Detect.run(Transcripts.turns(spark, nConvs), tagger), alias),
+        Transcripts.sameAs.toDF("src", "dst")).count()
+    }
+    t("gen..triples") {
+      val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
+      Triples.run(Canon.run(
+        Link.run(Detect.run(Transcripts.turns(spark, nConvs), tagger), alias),
+        Transcripts.sameAs.toDF("src", "dst"))).count()
+    }
+    spark.stop()
+  }
+}

@@ -1,13 +1,387 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.stages.{Canon, Detect, Link, Pipeline, Triples}
+import graft.synth.Transcripts
+
+/** Driver contract — queries (Spark) + oracleSql (DuckDB) pairs.
+  *
+  * Column names are aligned 1:1 between each query and its oracle (the
+  * driver sorts columns by name and hashes values). Floating-point
+  * aggregates go through decimal casts or explicit `round(…, n)` with
+  * HALF_UP semantics on exact doubles (verified identical in DuckDB 1.0).
+  * Queries without an oracle entry are the non-SQL-expressible ops
+  * (xxhash64 sketches, spark.ml LSH, the transcript pipeline whose input
+  * is synthesized in-session) — the driver records rows-only checks for
+  * those; their semantics are pinned by the ScalaTest suite instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** transcripts scale tied to the sf dir: ~6k/60k/600k turns (TESTDATA.md). */
+  def convsFor(dir: String): Long = {
+    val sf = raw"sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.01)
+    math.max(20L, (66000 * sf).toLong)
+  }
+
+  /** Flagship query on sf=0.001: the full KG pipeline, counted per
+    * conversation (driver smoke-checks rows>0).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val r = Pipeline.run(spark, convsFor("sf0.001"))
+    Triples.triplesPerConversation(r.triples.as[Triple](spark.implicits.newProductEncoder)).limit(20)
+  }
+
+  // ---------------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational core (TPC-H-ish; oracle-checked) --------------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1997-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(28,6)")).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q02_revenue_by_nation" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("decimal(28,6)")).cast("double").as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("n_name"))
+    }),
+    "q03_top_orders_per_nation" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("c_nationkey"), col("rk"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("o_totalprice"))
+        .orderBy(col("c_nationkey"), col("rk"))
+    }),
+    "q04_customers_with_orders" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_nationkey"))
+    }),
+    "q05_customers_without_orders" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_nationkey"))
+    }),
+    "q06_union_dedup_orders" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val a = o.filter(col("o_totalprice") > 150000)
+      val b = o.filter(col("o_orderpriority") === "1-URGENT")
+      a.unionByName(b).dropDuplicates("o_orderkey")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+    "q07_sessionize_events" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      e.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            (col("ts").cast("timestamp_ltz").cast("double") -
+              col("prev_ts").cast("timestamp_ltz").cast("double")) > 1800d, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+    "q08_event_rollup" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .rollup(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first)
+    }),
+    "q25_events_json" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- text analysis over documents (oracle-checked) ------------------
+    "q09_gazetteer_mentions" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(expr("regexp_extract_all(text, '\\\\b(spark|customer|vector|window)\\\\b', 0)")).as("surface"))
+        .groupBy(col("surface")).agg(count(lit(1)).as("n_mentions"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("surface"))
+    }),
+    "q10_doc_fingerprints" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+    "q11_token_stats" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tok")).as("sum_tokens"), max(col("n_tok")).as("max_tokens"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
+    "q12_doc_profile" -> ((s, dir) => {
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        round(TextAnalysis.meanTokenLen(col("text")), 4).as("mean_tok_len"),
+        round(TextAnalysis.stopwordRatio(col("text")), 4).as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+    "q13_langid" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- dedup family ----------------------------------------------------
+    "q14_unigram_jaccard_pairs" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"), k = 1,
+        threshold = 0.8, maxShingleDf = 600)
+        .orderBy(col("a"), col("b"))
+    }),
+    "q15_minhash_pairs" -> ((s, dir) => {
+      // LSH over 3-shingles; fixture docs are near-orthogonal so pair the
+      // corpus against itself with a generous distance to exercise the path
+      Dedup.minhashLshPairs(tbl(s, dir, "documents").limit(300), k = 1, maxDist = 0.35)
+    }),
+    "q16_simhash_sketch" -> ((s, dir) => {
+      Dedup.simhash(tbl(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+    "q16b_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(tbl(s, dir, "documents"), maxHamming = 16)
+    }),
+    "q19_cosine_neardup" -> ((s, dir) => {
+      Dedup.cosineNearDupPairs(tbl(s, dir, "embeddings"), threshold = 0.35, planes = 4)
+    }),
+
+    // --- similarity search ------------------------------------------------
+    "q17_cosine_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q18_ann_lsh_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, k = 3, planes = 4)
+    }),
+
+    // --- multimodal plumbing ---------------------------------------------
+    "q20_media_decode" -> ((s, dir) => {
+      val media = Multimodal.synthMedia(tbl(s, dir, "documents"))
+      Multimodal.decode(media).toDF().orderBy(col("media_id"))
+    }),
+
+    // --- KG pipeline over synthesized transcripts (rows-only checks) -----
+    "q21_pipeline_mentions" -> ((s, dir) => {
+      import s.implicits._
+      val turns = Transcripts.turns(s, convsFor(dir))
+      val tagger = Detect.lexiconTagger(s, Transcripts.aliasRows, Transcripts.tagSet)
+      Detect.run(turns, tagger).groupBy(col("label"))
+        .agg(count(lit(1)).as("n_mentions"),
+          countDistinct(col("surface")).as("n_surfaces"))
+        .orderBy(col("label"))
+    }),
+    "q22_pipeline_linked" -> ((s, dir) => {
+      val r = Pipeline.run(s, convsFor(dir))
+      r.linked.groupBy(col("method"), col("label"))
+        .agg(count(lit(1)).as("n")).orderBy(col("method"), col("label"))
+    }),
+    "q23_pipeline_triples" -> ((s, dir) => {
+      val r = Pipeline.run(s, convsFor(dir))
+      r.triples.groupBy(col("pred")).agg(count(lit(1)).as("n_triples"))
+        .orderBy(col("pred"))
+    }),
+    "q24_pipeline_conv_stats" -> ((s, dir) => {
+      import s.implicits._
+      val r = Pipeline.run(s, convsFor(dir))
+      Triples.triplesPerConversation(r.triples.as[Triple])
+        .agg(count(lit(1)).as("n_convs"), sum(col("n_triples")).as("n_triples"),
+          max(col("n_triples")).as("max_per_conv"))
+    }),
+    "q26_canon_components" -> ((s, dir) => {
+      Canon.connectedComponents(
+        Transcripts.sameAs.foldLeft(
+          s.createDataFrame(Seq.empty[(String, String)]).toDF("src", "dst"))(
+          (df, e) => df.union(s.createDataFrame(Seq(e)).toDF("src", "dst"))))
+        .orderBy(col("id"))
+    })
+  )
+
+  // ---------------------------------------------------------------------
+  private val discPrice =
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM($discPrice) AS DOUBLE) AS sum_disc_price,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1997-09-01'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q02_revenue_by_nation" ->
+      s"""SELECT n_name,
+         CAST(SUM($discPrice) AS DOUBLE) AS revenue,
+         COUNT(DISTINCT o_orderkey) AS n_orders
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q03_top_orders_per_nation" ->
+      """SELECT c_nationkey, rk, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice FROM (
+           SELECT c_nationkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+           FROM orders JOIN customer ON o_custkey = c_custkey)
+         WHERE rk <= 3 ORDER BY c_nationkey, rk""",
+    "q04_customers_with_orders" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q05_customers_without_orders" ->
+      """SELECT c_nationkey, COUNT(*) AS n_customers FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "q06_union_dedup_orders" ->
+      """SELECT o_orderstatus, COUNT(*) AS n FROM (
+           SELECT DISTINCT ON (o_orderkey) * FROM (
+             SELECT * FROM orders WHERE o_totalprice > 150000
+             UNION ALL
+             SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'))
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q07_sessionize_events" ->
+      """SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events FROM (
+           SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM (
+             SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL
+                    OR (EPOCH(ts) - EPOCH(prev_ts)) > 1800 THEN 1 ELSE 0 END AS new_s
+             FROM (SELECT user_id, ts, event_id,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+               FROM events)))
+         GROUP BY user_id ORDER BY user_id""",
+    "q08_event_rollup" ->
+      """SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY ROLLUP(event_type)
+         ORDER BY event_type NULLS FIRST""",
+    "q25_events_json" ->
+      """SELECT event_type,
+         SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+         COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q09_gazetteer_mentions" ->
+      """SELECT surface, COUNT(*) AS n_mentions, COUNT(DISTINCT doc_id) AS n_docs
+         FROM (SELECT doc_id,
+           UNNEST(regexp_extract_all(text, '\b(spark|customer|vector|window)\b')) AS surface
+           FROM documents)
+         GROUP BY surface ORDER BY surface""",
+    "q10_doc_fingerprints" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q11_token_stats" ->
+      """SELECT lang, SUM(n_tok) AS sum_tokens, MAX(n_tok) AS max_tokens,
+         COUNT(*) AS n_docs FROM (
+           SELECT lang, len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             t -> len(t) > 0)) AS n_tok FROM documents)
+         GROUP BY lang ORDER BY lang""",
+    "q12_doc_profile" ->
+      """SELECT doc_id, n_tokens,
+         ROUND(CAST(sum_len AS DOUBLE) / GREATEST(n_tokens, 1), 4) AS mean_tok_len,
+         ROUND(CAST(n_stop AS DOUBLE) / GREATEST(n_tokens, 1), 4) AS stopword_ratio
+         FROM (
+           SELECT doc_id,
+             len(toks) AS n_tokens,
+             list_sum(list_transform(toks, t -> len(t))) AS sum_len,
+             len(list_filter(list_transform(toks, t -> lower(t)),
+               t -> t IN ('the','a','of','and','is'))) AS n_stop
+           FROM (SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0) AS toks
+             FROM documents))
+         ORDER BY doc_id""",
+    "q13_langid" ->
+      """SELECT doc_id,
+         CASE WHEN len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) > 0 THEN 'zh'
+              WHEN best > 0 AND h_de = best THEN 'de'
+              WHEN best > 0 AND h_en = best THEN 'en'
+              WHEN best > 0 AND h_es = best THEN 'es'
+              WHEN best > 0 AND h_fr = best THEN 'fr'
+              ELSE 'und' END AS lang_pred
+         FROM (SELECT doc_id, text, h_en, h_de, h_es, h_fr,
+             GREATEST(h_en, h_de, h_es, h_fr) AS best
+           FROM (SELECT doc_id, text,
+             len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS h_en,
+             len(list_filter(toks, t -> t IN ('der','die','und','ist','ein'))) AS h_de,
+             len(list_filter(toks, t -> t IN ('el','la','de','y','es'))) AS h_es,
+             len(list_filter(toks, t -> t IN ('le','la','et','est','un'))) AS h_fr
+             FROM (SELECT doc_id, text,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                 t -> len(t) > 0) AS toks FROM documents)))
+         ORDER BY doc_id""",
+    "q14_unigram_jaccard_pairs" ->
+      """WITH sh AS (
+           SELECT doc_id, len(shingles) AS n_sh, UNNEST(shingles) AS shingle FROM (
+             SELECT doc_id, list_distinct(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)) AS shingles
+             FROM documents)),
+         rare AS (
+           SELECT shingle FROM sh GROUP BY shingle
+           HAVING COUNT(*) <= 600 AND COUNT(*) >= 2),
+         shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle))
+         SELECT a, b, jaccard FROM (
+           SELECT x.doc_id AS a, y.doc_id AS b, x.n_sh AS na, y.n_sh AS nb,
+             COUNT(*) AS inter,
+             ROUND(CAST(COUNT(*) AS DOUBLE) / (x.n_sh + y.n_sh - COUNT(*)), 6) AS jaccard
+           FROM shf x JOIN shf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY x.doc_id, y.doc_id, x.n_sh, y.n_sh)
+         WHERE jaccard >= 0.8 ORDER BY a, b""",
+    "q17_cosine_topk" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id ASC) AS rank
+           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 5)
+         WHERE rank <= 3 ORDER BY query_id, rank"""
+  )
 }

@@ -1,0 +1,155 @@
+package graft.core
+
+import scala.collection.mutable
+
+/** Character-level lexicon trie.
+  *
+  * Semantics transliterated from the reference implementation
+  * (`CC/loaders/utils/lexicon_tree.py:14-129`), bit-exact on:
+  *   - `enumerateMatch` depth cut at `max_depth` and the single-character
+  *     demotion rule (drop the length-1 match when longer matches exist,
+  *     lexicon_tree.py:94-95);
+  *   - `getAllMatchedWordList` coverage propagation (a word starting at i
+  *     is appended to every covered position j in (i, i+len) first, then to
+  *     position i unless i already has matches and the word is length-1,
+  *     lexicon_tree.py:121-126) and the per-position cap applied both
+  *     before coverage fill and at the end (lexicon_tree.py:119-120,127-128).
+  *
+  * The structure is built once on the driver from the (bounded, `limit`-ed)
+  * vocabulary and shipped to executors via `SparkContext.broadcast`; at
+  * 1.5M words it serializes to tens of MB, well under broadcast limits.
+  * Matching happens inside `mapPartitions`, never per-row on the driver.
+  */
+final class Trie(useSingle: Boolean = true) extends Serializable {
+
+  final class Node extends Serializable {
+    var children: mutable.HashMap[Char, Node] = null // lazily allocated
+    var isWord: Boolean = false
+    /** the full word ending at this terminal — lets match loops emit the
+      * dictionary-owned string instead of allocating a substring per hit
+      */
+    var word: String = null
+    def child(c: Char): Node = if (children == null) null else children.getOrElse(c, null)
+  }
+
+  val root = new Node
+  var maxDepth: Int = 0
+  /** min match index: 0 keeps single-char words, 1 drops them (lexicon_tree.py:26-29). */
+  val minLen: Int = if (useSingle) 0 else 1
+  private var nWords: Int = 0
+
+  def size: Int = nWords
+
+  def insert(word: String): this.type = {
+    var ptr = root
+    var deep = 0
+    var k = 0
+    while (k < word.length) {
+      if (ptr.children == null) ptr.children = mutable.HashMap.empty
+      ptr = ptr.children.getOrElseUpdate(word.charAt(k), new Node)
+      deep += 1
+      k += 1
+    }
+    if (!ptr.isWord) nWords += 1
+    ptr.isWord = true
+    ptr.word = word
+    if (deep > maxDepth) maxDepth = deep
+    this
+  }
+
+  def search(word: String): Boolean = {
+    var ptr = root
+    var k = 0
+    while (k < word.length) {
+      ptr = ptr.child(word.charAt(k))
+      if (ptr == null) return false
+      k += 1
+    }
+    ptr.isWord
+  }
+
+  /** All lexicon words that are prefixes of `sent` starting at `from`
+    * (reference passes the suffix; we pass an offset to avoid substring
+    * allocation in the hot loop — same result).
+    * Mirrors lexicon_tree.py:74-96 including the `i > max_depth` cut and
+    * the single-char demotion when more than one match exists.
+    */
+  def enumerateMatch(sent: CharSequence, from: Int): List[String] = {
+    var matched: List[String] = Nil
+    var ptr = root
+    var i = 0
+    val n = sent.length - from
+    var continue = true
+    while (continue && i < n) {
+      if (i > maxDepth) continue = false
+      else {
+        ptr = ptr.child(sent.charAt(from + i))
+        if (ptr == null) continue = false
+        else {
+          if (i >= minLen && ptr.isWord)
+            matched = ptr.word :: matched // dictionary-owned string, no substring alloc
+          i += 1
+        }
+      }
+    }
+    val res = matched.reverse
+    res match {
+      case first :: rest if rest.nonEmpty && first.length == 1 => rest
+      case _ => res
+    }
+  }
+
+  def enumerateMatch(sent: String): List[String] = enumerateMatch(sent, 0)
+
+  /** Sorted distinct matched words over a whole text (lexicon_tree.py:98-112). */
+  def getAllMatchedWords(sent: String): Seq[String] = {
+    val set = mutable.TreeSet.empty[String]
+    var i = 0
+    while (i < sent.length) {
+      enumerateMatch(sent, i).foreach(set.add)
+      i += 1
+    }
+    set.toSeq
+  }
+
+  /** Per-position matched-word lists (lexicon_tree.py:114-129). */
+  def getAllMatchedWordList(sent: String, maxWords: Int = -1): Array[List[String]] = {
+    val matched = Array.fill(sent.length)(mutable.ListBuffer.empty[String])
+    var i = 0
+    while (i < sent.length) {
+      var words = enumerateMatch(sent, i)
+      if (maxWords >= 0) words = words.take(maxWords)
+      for (word <- words) {
+        var j = i + 1
+        while (j < i + word.length) { matched(j) += word; j += 1 }
+        if (!(matched(i).nonEmpty && word.length == 1)) matched(i) += word
+      }
+      if (maxWords >= 0 && matched(i).length > maxWords)
+        matched(i) = matched(i).take(maxWords).to(mutable.ListBuffer)
+      i += 1
+    }
+    matched.map(_.toList)
+  }
+
+  /** All (start, word) matches over a text — the span-oriented view the
+    * mention-detection stage consumes (begin-position enumeration like
+    * getAllMatchedWordList's outer loop, keeping offsets).
+    */
+  def matchSpans(sent: String): List[(Int, String)] = {
+    val out = mutable.ListBuffer.empty[(Int, String)]
+    var i = 0
+    while (i < sent.length) {
+      enumerateMatch(sent, i).foreach(w => out += ((i, w)))
+      i += 1
+    }
+    out.toList
+  }
+}
+
+object Trie {
+  def apply(words: IterableOnce[String], useSingle: Boolean = true): Trie = {
+    val t = new Trie(useSingle)
+    words.iterator.foreach(t.insert)
+    t
+  }
+}

@@ -1,0 +1,66 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Iceberg-shaped snapshot layer over partitioned Parquet (SURVEY.md §7.1:
+  * no Iceberg jars on the classpath, so the table-format *semantics* the
+  * north_rule needs — content-addressed snapshots, atomic-ish commit,
+  * per-stage lineage counters, idempotent resume — are provided by a
+  * manifest convention):
+  *
+  *   <base>/<stage>/snapshot=<inputHash>/          ← parquet data
+  *   <base>/<stage>/snapshot=<inputHash>/_manifest.json
+  *
+  * Commit protocol: data is written to a `_tmp_` directory and atomically
+  * renamed into place, the manifest written last — a crashed run leaves
+  * either no snapshot or a `_tmp_` orphan, never a half-committed snapshot
+  * that resume would trust (mirrors the reference's etag-keyed pickle cache,
+  * `CC/loaders/utils/cache_manager.py:7-45` + `reader.py:31-51`, with
+  * content hash in place of S3 etag).
+  */
+object SnapshotIO {
+
+  def snapshotDir(base: String, stage: String, inputHash: String): Path =
+    Paths.get(base, stage, s"snapshot=$inputHash")
+
+  def isCommitted(base: String, stage: String, inputHash: String): Boolean =
+    Files.exists(snapshotDir(base, stage, inputHash).resolve("_manifest.json"))
+
+  /** Run `compute` unless a committed snapshot for `inputHash` already
+    * exists; either way return the snapshot-backed DataFrame. `counters`
+    * are evaluated only on compute (they land in the manifest for lineage).
+    */
+  def resumeOrCompute(spark: SparkSession, base: String, stage: String,
+                      inputHash: String,
+                      counters: => Map[String, Long] = Map.empty)
+                     (compute: => DataFrame): DataFrame = {
+    val dir = snapshotDir(base, stage, inputHash)
+    if (!isCommitted(base, stage, inputHash)) {
+      val tmp = dir.getParent.resolve(s"_tmp_${dir.getFileName}")
+      deleteRecursively(tmp)
+      val df = compute
+      df.write.mode("overwrite").parquet(tmp.toString)
+      val rows = spark.read.parquet(tmp.toString).count()
+      deleteRecursively(dir)
+      Files.createDirectories(dir.getParent)
+      Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+      val counterJson = counters.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val manifest =
+        s"""{"stage":"$stage","input_hash":"$inputHash","rows":$rows,
+           |"committed_at":"${java.time.Instant.now()}","counters":{$counterJson}}"""
+          .stripMargin.replace("\n", "")
+      // manifest last = commit point
+      Files.write(dir.resolve("_manifest.json"),
+        manifest.getBytes(StandardCharsets.UTF_8))
+    }
+    spark.read.parquet(dir.toString)
+  }
+
+  def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+}

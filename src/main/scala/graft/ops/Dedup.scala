@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for 100TB-scale training-data curation.
+  *
+  * Scale notes baked into each physical plan:
+  *  - exact dedup is a single hash-shuffle on the 16-byte fingerprint (never
+  *    on the raw text);
+  *  - n-gram Jaccard and MinHash both go through an *inverted index /
+  *    bucket join* so the quadratic pair space never materializes — only
+  *    same-bucket candidates shuffle;
+  *  - SimHash reduces each doc to 64 bits, bands of 16 bits block the join;
+  *  - all outputs are canonical pairs (a < b), distinct.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest doc_id per normalized-content
+    * fingerprint. Two shuffles max (agg + semi join); at scale the agg is
+    * map-side-combined on the md5 key.
+    */
+  def exact(docs: DataFrame): DataFrame = {
+    val fp = docs.withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val keep = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    fp.join(keep, Seq("fp", "doc_id"), "left_semi").drop("fp")
+  }
+
+  /** Exact-duplicate groups: fingerprint → n copies, kept id. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .filter(col("n_copies") > 1)
+
+  /** distinct token k-shingles per doc. */
+  def shingles(docs: DataFrame, k: Int = 3): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col("text")))
+    val idx = sequence(lit(1), greatest(size(toks) - (k - 1), lit(1)))
+    docs.select(col("doc_id"),
+      array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i, lit(k)))))
+        .as("shingles"))
+  }
+
+  /** Near-dup pairs by exact n-gram Jaccard ≥ `threshold`, via inverted
+    * index: explode shingles → self-join on shingle → per-pair intersection
+    * count → |A∪B| = |A|+|B|−|A∩B|. Shuffles on the shingle key (frequency-
+    * bounded: a shingle shared by f docs contributes f² pair rows — at scale
+    * drop shingles with document frequency above a cap, which cannot create
+    * high-Jaccard pairs anyway at realistic doc sizes).
+    */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
+                        maxShingleDf: Int = 1000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // one scan: explode shingles → group per shingle collecting the (bounded
+    // by maxShingleDf) posting list → emit pairwise combinations locally.
+    // Avoids the classic self-join's double scan/recompute of the shingle
+    // lineage; posting lists are capped, so pair fan-out per group is ≤ df²/2.
+    val sh = shingles(docs, k)
+      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("shingle"))
+    val posting = sh.groupBy(col("shingle"))
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("docs"))
+      .filter(size(col("docs")).between(2, maxShingleDf))
+    posting.select(col("docs")).flatMap { row =>
+      val ds = row.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+      for (i <- ds.indices.iterator; j <- (i + 1 until ds.length).iterator)
+        yield (ds(i)._1, ds(j)._1, ds(i)._2, ds(j)._2)
+    }.toDF("a", "b", "na", "nb")
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup candidate pairs (shingle → minhash → band →
+    * bucket join) using spark.ml's MinHashLSH (band = hash table). Returns
+    * candidate pairs with exact Jaccard distance ≤ maxDist.
+    */
+  def minhashLshPairs(docs: DataFrame, k: Int = 3, maxDist: Double = 0.3,
+                      numTables: Int = 8): DataFrame = {
+    val sh = shingles(docs, k).filter(size(col("shingles")) > 0)
+    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feat = tf.transform(sh)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numTables).setSeed(42L)
+    val model = lsh.fit(feat)
+    model.approxSimilarityJoin(feat, feat, maxDist, "dist")
+      .select(col("datasetA.doc_id").as("a"), col("datasetB.doc_id").as("b"),
+        round(lit(1.0) - col("dist"), 6).as("jaccard_est"))
+      .filter(col("a") < col("b"))
+      .distinct()
+  }
+
+  /** 64-bit SimHash over token hashes: bit i of the sketch = sign of
+    * Σ_tokens (bit i of xxhash64(token) ? +1 : −1). Pure column expressions
+    * (sequence/transform/aggregate) — stays in codegen, no UDF.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = array_distinct(TextAnalysis.tokens(lower(col("text"))))
+    // materialize token hashes once, then 64 per-bit aggregates over the
+    // materialized array (bit index is a compile-time Int, so shiftright's
+    // literal-numBits overload applies and everything stays codegen'd)
+    val withHashes = docs.select(col("doc_id"),
+      transform(toks, t => xxhash64(t)).as("hs"))
+    val sig = (0 until 64).map { i =>
+      when(aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)
+      ) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    withHashes.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: block on 4 bands of 16 bits, verify Hamming
+    * distance ≤ maxHamming via bit_count(xor).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs).cache()
+    val bands = (0 until 4).map(bI => struct(lit(bI).as("band"),
+      shiftright(col("simhash"), bI * 16).bitwiseAND(0xffffL).as("key")))
+    val banded = sig.select(col("doc_id"), col("simhash"),
+        explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"), col("doc_id").as("a"),
+      col("simhash").as("sa"))
+    val b = banded.select(col("band"), col("key"), col("doc_id").as("b"),
+      col("simhash").as("sb"))
+    a.join(b, Seq("band", "key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs over (vec_id, embedding array<float>):
+    * brute-force blocked by sign-LSH buckets (deterministic hyperplanes from
+    * splitmix64) so only same-bucket vectors pair up; exact cosine verifies.
+    */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.95,
+                         planes: Int = 8, dim: Int = 64): DataFrame = {
+    val withBucket = Similarity.withSignBucket(emb, planes, dim)
+    val a = withBucket.select(col("bucket"), col("vec_id").as("a"),
+      col("embedding").as("ea"))
+    val b = withBucket.select(col("bucket"), col("vec_id").as("b"),
+      col("embedding").as("eb"))
+    a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+      .withColumn("cos", Similarity.cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+      .distinct()
+  }
+}

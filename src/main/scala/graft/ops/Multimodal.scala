@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns with typed metadata; decode / feature-extract / resize /
+  * frame-sample run as partition-local batch functions over those bytes.
+  *
+  * ⚠ STUB BOUNDARY: no image/audio codecs exist in this container, so
+  * `decodeHeader` below is a clearly-marked deterministic FAKE decoder (it
+  * parses our own synthetic 16-byte header). Everything around it — the
+  * schema contract, binary column handling, partition-local batching,
+  * bounded per-batch memory — is the real Spark plumbing; swapping in a
+  * JNI/JavaCV decoder (or, in PySpark, a Pandas UDF via `mapInPandas` with
+  * Arrow batches) is a body-only change behind `MediaDecoder`.
+  */
+object Multimodal {
+
+  final case class MediaMeta(media_id: Long, kind: String, width: Int,
+                             height: Int, duration_ms: Int, n_bytes: Int)
+
+  /** Synthetic media corpus derived deterministically from any id column:
+    * 16-byte header [magic(4) kind(4) width(4) height(4)] + payload bytes.
+    */
+  def synthMedia(docs: DataFrame): DataFrame = {
+    val kinds = array(lit("image"), lit("audio"), lit("video"))
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(kinds, (pmod(xxhash64(col("doc_id")), lit(3)) + 1).cast("int")).as("kind"),
+      // header+payload as binary: header fields encoded via conv/unhex of
+      // deterministic per-id hashes; payload = utf8 bytes of the text
+      concat(
+        lit("GRFT").cast("binary"),
+        lpad(conv(pmod(xxhash64(col("doc_id"), lit(1)), lit(4096)).cast("string"), 10, 16), 8, "0").cast("binary"),
+        lpad(conv(pmod(xxhash64(col("doc_id"), lit(2)), lit(4096)).cast("string"), 10, 16), 8, "0").cast("binary"),
+        col("text").cast("binary")).as("payload"))
+  }
+
+  /** Decoder seam. Batch-in/batch-out so a real implementation can amortize
+    * codec setup per partition (exactly the broadcast-ONNX pattern of the
+    * mention tagger).
+    */
+  trait MediaDecoder extends Serializable {
+    def decodeBatch(rows: Seq[(Long, String, Array[Byte])]): Seq[MediaMeta]
+  }
+
+  /** STUB: parses the synthetic header; deterministic, codec-free.
+    * Replace with a real codec (??? in production terms) — contract only.
+    */
+  object FakeDecoder extends MediaDecoder {
+    def decodeBatch(rows: Seq[(Long, String, Array[Byte])]): Seq[MediaMeta] =
+      rows.map { case (id, kind, bytes) =>
+        val hex = new String(bytes.slice(4, 20), "UTF-8")
+        val w = Integer.parseInt(hex.substring(0, 8), 16)
+        val h = Integer.parseInt(hex.substring(8, 16), 16)
+        MediaMeta(id, kind, w, h, duration_ms = (bytes.length - 20) * 10,
+          n_bytes = bytes.length)
+      }
+  }
+
+  /** Decode stage: binary column → typed metadata, partition-local batches
+    * of 128 (bounds per-batch heap regardless of payload size distribution).
+    */
+  def decode(media: DataFrame, decoder: MediaDecoder = FakeDecoder): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.grouped(128).flatMap(decoder.decodeBatch))
+  }
+
+  /** Frame-sample: every `stride`-th payload byte (stand-in for video frame
+    * sampling — same slice-shaped access pattern, pure column expressions).
+    */
+  def frameSample(media: DataFrame, stride: Int = 64): DataFrame =
+    media.select(col("media_id"),
+      transform(
+        sequence(lit(20), greatest(length(col("payload")) - 1, lit(20)), lit(stride)),
+        i => get(col("payload").cast("array<byte>"), i - 1)).as("sampled_bytes"))
+
+  /** Byte-histogram feature extraction (16 coarse bins) — the "embedding"
+    * of the fake modality; real systems put CLIP/VGGish here.
+    */
+  def byteHistogram(meta: Dataset[MediaMeta], media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    media.select(col("media_id"), col("payload")).createOrReplaceTempView("_media_tmp")
+    media.select(col("media_id"),
+      transform(sequence(lit(0), lit(15)), b =>
+        size(filter(col("payload").cast("array<byte>"),
+          x => shiftright(x.cast("int") + 256, 4).bitwiseAND(15) === b)))
+        .as("byte_hist"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.synth.Transcripts.mix
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (exact; broadcast the query set, never
+  * the corpus). Scale path: sign-random-projection LSH buckets (deterministic
+  * hyperplanes derived from splitmix64 — reproducible across runs/executors
+  * with no RNG state) so candidate generation touches only same-bucket rows;
+  * multi-probe widens recall.
+  *
+  * All vector math is `zip_with`/`aggregate` column expressions — codegen'd,
+  * no UDF, no driver-side collect of the corpus.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * greatest(norm(b), lit(1e-12)))
+
+  /** Deterministic hyperplane matrix [planes][dim] from splitmix64. */
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] =
+    Array.tabulate(planes, dim) { (p, d) =>
+      // uniform in [-1, 1) from the mixed bits
+      (mix(seed ^ (p.toLong << 32) ^ d.toLong).toDouble / Long.MaxValue.toDouble)
+    }
+
+  /** Sign-LSH bucket id: bit p = (v · plane_p) >= 0. */
+  def signBucket(v: Column, planes: Int, dim: Int, seed: Long = 7L): Column = {
+    val hp = hyperplanes(planes, dim, seed)
+    (0 until planes).map { p =>
+      val plane = typedLit(hp(p).toSeq)
+      val d = aggregate(
+        zip_with(v, plane, (x, w) => x * w), lit(0.0d), (acc, x) => acc + x)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  def withSignBucket(emb: DataFrame, planes: Int, dim: Int): DataFrame =
+    emb.withColumn("bucket", signBucket(col("embedding"), planes, dim))
+
+  /** Exact brute-force top-k neighbors for each query row.
+    * The query side is expected to be small (it is broadcast); the corpus
+    * side streams. Output: (query_id, neighbor_id, rank) — ids only, so the
+    * result is FP-robust for cross-engine checks.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN top-k: candidates = same-bucket rows (single-probe;
+    * union extra probe buckets for recall), exact cosine rerank inside the
+    * bucket. At 100TB the bucket join replaces the cross join — cost scales
+    * with bucket occupancy, not corpus size².
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              planes: Int = 6, dim: Int = 64): DataFrame = {
+    val q = withSignBucket(
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        .withColumnRenamed("qv", "embedding"), planes, dim)
+      .withColumnRenamed("embedding", "qv")
+    val c = withSignBucket(corpus, planes, dim)
+      .select(col("bucket"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("cv"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+}

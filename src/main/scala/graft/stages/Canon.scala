@@ -1,0 +1,110 @@
+package graft.stages
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.core._
+
+/** Canonicalization: same-as evidence edges → connected components →
+  * deterministic canonical-ID election (`canonical_id = min(entity_id)` over
+  * the component).
+  *
+  * GraphFrames is not on the classpath (verified, SURVEY.md §7.1), so
+  * components are computed with the **alternating large-star / small-star**
+  * algorithm (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14) as a loop of pure DataFrame ops — shuffle-friendly,
+  * O(log n) rounds, each round two `groupBy(min)` + joins that AQE can
+  * re-plan. Per-round `localCheckpoint` cuts lineage so plans stay bounded.
+  */
+object Canon {
+
+  /** edges: DataFrame(src string, dst string), undirected semantics.
+    * @return DataFrame(id string, canonical_id string) covering every vertex
+    *         incident to an edge.
+    */
+  def connectedComponents(edges0: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = edges0.sparkSession
+
+    // canonical direction + dedup; drop self loops
+    var edges = edges0.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("src").as("u"), col("dst").as("v"))
+        .unionAll(e.select(col("dst").as("u"), col("src").as("v")))
+      val m = sym.groupBy("u").agg(min(least(col("v"), col("u"))).as("m"))
+      sym.join(m, "u")
+        .filter(col("v") > col("u")) // strictly larger neighbors re-point to min
+        .select(col("v").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // direct edges large→small: u > v
+      val dir = e.select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      val m = dir.groupBy("u").agg(min(col("v")).as("m"))
+      val relink = dir.join(m, "u")
+        .select(col("v").as("src"), col("m").as("dst"))
+        .unionAll(m.select(col("u").as("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"))
+        .distinct()
+      relink
+    }
+
+    var it = 0
+    var converged = false
+    // convergence: identical edge multiset (order-insensitive checksum +
+    // count); the previous iteration's checksum is carried forward so each
+    // round costs ONE action beyond the eager checkpoint
+    var prev = checksum(edges)
+    while (!converged && it < maxIter) {
+      // lazy local checkpoint: materialized by the checksum action below, so
+      // each round costs exactly ONE job
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val cur = checksum(next)
+      converged = prev(0) == cur(0) && prev(1) == cur(1)
+      prev = cur
+      edges.unpersist(false)
+      edges = next
+      it += 1
+    }
+
+    // after convergence every edge points (child, root); root's own row:
+    val asChild = edges.select(col("dst").as("id"), col("src").as("canonical_id"))
+    val roots = edges.select(col("src").as("id"), col("src").as("canonical_id"))
+    asChild.unionAll(roots).groupBy("id").agg(min("canonical_id").as("canonical_id"))
+  }
+
+  private def checksum(df: DataFrame): Array[Long] = {
+    // pmod bounds each term < 2^31 so the Long sum cannot overflow under
+    // ANSI mode even at billions of edges
+    val r = df.agg(count(lit(1)),
+        coalesce(sum(pmod(xxhash64(col("src"), col("dst")), lit(2147483647L))), lit(0L)))
+      .head()
+    Array(r.getLong(0), r.getLong(1))
+  }
+
+  /** Resolve linked mentions to canonical ids. Vertices absent from the
+    * same-as graph canonicalize to themselves; NIL mentions stay null.
+    */
+  def run(linked: Dataset[LinkedMention], sameAs: DataFrame): Dataset[CanonMention] = {
+    val spark = linked.sparkSession
+    import spark.implicits._
+    val comp = connectedComponents(sameAs)
+    linked.join(broadcast(comp), linked("entity_id") === comp("id"), "left")
+      .select(linked("conv_id"), linked("turn_idx"), linked("start"),
+        linked("end"), linked("label"), linked("surface"), linked("entity_id"),
+        coalesce(col("canonical_id"), linked("entity_id")).as("canonical_id"))
+      .as[CanonMention]
+  }
+}

@@ -1,0 +1,149 @@
+package graft.stages
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.util.LongAccumulator
+import graft.core._
+
+/** Mention tagger seam — the pipeline's equivalent of the reference predict
+  * contract `Seq[text] → Seq[tags]` (`CC/predicter.py:130-171`).
+  *
+  * Implementations receive a *micro-batch* of texts (already length-sorted,
+  * the packing trick of `CC/birnncrf.py:18-30`) and return one tag sequence
+  * per text, aligned char-by-char. The production implementation would hold
+  * one ONNX session per executor (lazy val) and run LEBERT fused inference;
+  * the sandbox implementation below is the deterministic lexicon+CRF scorer:
+  * trie matches (`lexicon_tree.py:114-129`) vote dictionary-derived BMES
+  * emissions (`vocab_tag.py:24-37` tag lookup), Viterbi decodes
+  * (`crf.py:89-134` semantics). Same seam, swap-in model.
+  */
+trait MentionTagger extends Serializable {
+  def tagBatch(texts: Seq[String]): Seq[Array[String]]
+}
+
+/** Deterministic lexicon-emission + CRF tagger.
+  *
+  * Allocation-discipline matters more than cleverness here: this body runs
+  * once per turn (10^12 times at target scale), so the match loop walks the
+  * trie in place (no span lists, no substrings — terminals carry their
+  * word) and Viterbi decodes into a per-thread scratch. In local mode the
+  * broadcast tagger instance is shared by all task threads → ThreadLocal.
+  */
+final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
+                             tagSet: IndexedSeq[String]) extends MentionTagger {
+  private val C = tagSet.length
+  @transient private lazy val transitions = Viterbi.bmesTransitions(tagSet)
+  private val oIdx = tagSet.indexOf("O")
+  // per-label precomputed BMES tag-index rows: bIdx(label), iIdx, eIdx, sIdx
+  private val labelIdx: Map[String, (Int, Int, Int, Int)] =
+    tagSet.collect { case t if t.startsWith("B-") => Tags.typeOf(t) }
+      .map { lbl =>
+        lbl -> ((tagSet.indexOf(s"B-$lbl"), tagSet.indexOf(s"I-$lbl"),
+          tagSet.indexOf(s"E-$lbl"), tagSet.indexOf(s"S-$lbl")))
+      }.toMap
+  @transient private lazy val scratch =
+    ThreadLocal.withInitial[Viterbi.Scratch](() => new Viterbi.Scratch(256, C))
+
+  def tagBatch(texts: Seq[String]): Seq[Array[String]] = texts.map(tagOne)
+
+  def tagOne(text: String): Array[String] = {
+    val n = text.length
+    if (n == 0) return Array.empty
+    val s = scratch.get()
+    s.ensure(n)
+    val em = s.emissions
+    java.util.Arrays.fill(em, 0, n * C, 0f)
+    var i = 0
+    while (i < n) { em(i * C + oIdx) = 0.1f; i += 1 }
+    // inline trie walk from every position; every dictionary match votes its
+    // BMES labels (single-char demotion per lexicon_tree.py:94-95: a length-1
+    // match votes only when it is the sole match at its position)
+    i = 0
+    while (i < n) {
+      var ptr = trie.root
+      var k = 0
+      var continue = true
+      var nMatches = 0
+      var soloSingle: String = null
+      while (continue && k < n - i) {
+        if (k > trie.maxDepth) continue = false
+        else {
+          ptr = ptr.child(text.charAt(i + k))
+          if (ptr == null) continue = false
+          else {
+            if (k >= trie.minLen && ptr.isWord) {
+              nMatches += 1
+              if (k == 0) soloSingle = ptr.word // defer: demoted unless solo
+              else vote(em, i, ptr.word)
+            }
+            k += 1
+          }
+        }
+      }
+      if (soloSingle != null && nMatches == 1) vote(em, i, soloSingle)
+      i += 1
+    }
+    Viterbi.decodeScratch(s, n, transitions)
+    val out = new Array[String](n)
+    i = 0
+    while (i < n) { out(i) = tagSet(s.path(i)); i += 1 }
+    out
+  }
+
+  private def vote(em: Array[Float], start: Int, word: String): Unit = {
+    val label = dict.getOrElse(word, null)
+    if (label == null) return
+    val (b, im, e, sg) = labelIdx(label)
+    val len = word.length
+    if (len == 1) { em(start * C + sg) += 1f; return }
+    em(start * C + b) += 1f
+    var k = 1
+    while (k < len - 1) { em((start + k) * C + im) += 1f; k += 1 }
+    em((start + len - 1) * C + e) += 1f
+  }
+}
+
+/** Mention-detection stage: `Dataset[Turn] → Dataset[Mention]`.
+  *
+  * mapPartitions with broadcast (trie, dictionary, tagger); inside each
+  * partition, rows are grouped into micro-batches of `batchSize` and sorted
+  * by descending length before the tagger call (padding-waste trick of
+  * birnncrf.py:20-28) — order is restored per row because mentions carry
+  * their own (conv_id, turn_idx) keys; no global order is assumed.
+  *
+  * Per-partition counters (turns_in, mentions_out) feed the metrics table
+  * (north_rule lineage).
+  */
+object Detect {
+  val BatchSize = 64
+
+  def run(turns: Dataset[Turn], tagger: Broadcast[MentionTagger],
+          turnsIn: Option[LongAccumulator] = None,
+          mentionsOut: Option[LongAccumulator] = None): Dataset[Mention] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    turns.mapPartitions { it =>
+      val tg = tagger.value
+      it.grouped(BatchSize).flatMap { chunk =>
+        turnsIn.foreach(_.add(chunk.size))
+        val sorted = chunk.sortBy(-_.text.length) // length packing
+        val tagSeqs = tg.tagBatch(sorted.map(_.text))
+        val out = sorted.iterator.zip(tagSeqs.iterator).flatMap { case (turn, tags) =>
+          Tags.getEntities(tags.toIndexedSeq, turn.text).iterator.map { sp =>
+            Mention(turn.conv_id, turn.turn_idx, sp.start, sp.end, sp.label, sp.surface)
+          }
+        }.toList
+        mentionsOut.foreach(_.add(out.size))
+        out
+      }
+    }
+  }
+
+  /** Convenience: build the broadcastable sandbox tagger from alias rows. */
+  def lexiconTagger(spark: SparkSession, alias: Seq[AliasRow],
+                    tagSet: IndexedSeq[String]): Broadcast[MentionTagger] = {
+    val trie = Trie(alias.map(_.surface))
+    val dict = alias.map(r => r.surface -> r.label).toMap
+    spark.sparkContext.broadcast[MentionTagger](new LexiconCrfTagger(trie, dict, tagSet))
+  }
+}

@@ -1,0 +1,115 @@
+package graft.stages
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core._
+
+/** Entity-linking stage: `Dataset[Mention] → Dataset[LinkedMention]`.
+  *
+  * Candidate generation is a **broadcast hash join** against the alias
+  * dictionary on the normalized surface form — the distributed form of the
+  * reference's word→tag dictionary lookup (`CC/loaders/lex_loader.py:69-73`,
+  * `vocab_tag.py:24-37`). The dictionary is the small side (≤ a few hundred
+  * MB of aliases even at web scale) and is explicitly `broadcast()`-hinted so
+  * the 10^12-row mention side never shuffles here.
+  *
+  * Mentions that miss exactly go through **MinHash-LSH blocking** on char
+  * 3-gram sets (`org.apache.spark.ml.feature.MinHashLSH`; stands in for the
+  * reference's SBert cosine candidate ranking, `label_counter.py:56-75`,
+  * whose quadratic pair space cannot materialize at scale): LSH buckets
+  * produce candidate pairs, exact Jaccard distance reranks, best candidate
+  * per mention wins (deterministic tie-break on distance then entity_id).
+  */
+object Link {
+  private val NGram = 3
+  private val LshSeed = 42L
+
+  def charNGrams(s: String, n: Int = NGram): Seq[String] = {
+    if (s.length < n) Seq(s) else s.sliding(n).toSeq
+  }
+
+  /** @param enableFuzzy when false, skip the LSH pass entirely: mentions that
+    *        miss the dictionary stay NIL. The production flow at 10^12
+    *        turns runs exact-only in the main pass and fuzzy-links the NIL
+    *        partition as a separate job (runWithSnapshots does exactly
+    *        this shape) — keeping the hot path a single action with no
+    *        mid-plan probe and no cache materialization.
+    */
+  def run(mentions: Dataset[Mention], alias: DataFrame,
+          fuzzyMaxJaccardDist: Double = 0.5, enableFuzzy: Boolean = true): Dataset[LinkedMention] = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+
+    val aliasNorm = alias.select(
+      lower(col("surface")).as("alias_surface"),
+      col("entity_id"), col("label").as("alias_label"))
+
+    // exact candidate generation: broadcast dictionary join
+    val exactJoined = mentions
+      .join(broadcast(aliasNorm),
+        lower(col("surface")) === col("alias_surface") &&
+          col("label") === col("alias_label"), "left")
+      .drop("alias_surface", "alias_label")
+      .withColumn("method", when(col("entity_id").isNotNull, lit("exact")))
+
+    if (!enableFuzzy) return exactJoined.as[LinkedMention]
+
+    // fuzzy pass: the exact result is evaluated by the miss probe below AND
+    // by the output union — persist so the upstream detect runs exactly once
+    val exact = exactJoined
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val hit = exact.filter(col("entity_id").isNotNull)
+    val miss = exact.filter(col("entity_id").isNull).drop("entity_id", "method")
+
+    // Cheap early-out: LSH fit/transform costs several jobs; skip when
+    // everything linked exactly (common case with a complete dictionary).
+    val missCount = miss.limit(1).count()
+    val fuzzy: DataFrame =
+      if (missCount == 0) {
+        hit.limit(0).toDF() // empty, same schema
+      } else {
+        val grams = udf((s: String) => charNGrams(s.toLowerCase))
+        val tf = new HashingTF().setInputCol("grams").setOutputCol("features")
+          .setNumFeatures(1 << 16).setBinary(true)
+        val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+          .setNumHashTables(4).setSeed(LshSeed)
+
+        val missFeat = tf.transform(
+          miss.withColumn("grams", grams(col("surface"))))
+        val aliasFeat = tf.transform(
+          aliasNorm.withColumn("grams", grams(col("alias_surface"))))
+        val model = lsh.fit(aliasFeat)
+
+        val pairs = model.approxSimilarityJoin(
+            missFeat, aliasFeat, fuzzyMaxJaccardDist, "jaccard_dist")
+          .select(col("datasetA.conv_id"), col("datasetA.turn_idx"),
+            col("datasetA.start"), col("datasetA.end"),
+            col("datasetA.label"), col("datasetA.surface"),
+            col("datasetB.entity_id"), col("datasetB.alias_label"),
+            col("jaccard_dist"))
+          .filter(col("label") === col("alias_label"))
+        val w = Window.partitionBy("conv_id", "turn_idx", "start", "end")
+          .orderBy(col("jaccard_dist").asc, col("entity_id").asc)
+        pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("conv_id"), col("turn_idx"), col("start"), col("end"),
+            col("label"), col("surface"), col("entity_id"),
+            lit("fuzzy").as("method"))
+      }
+
+    val stillMiss = if (missCount == 0) hit.limit(0).toDF() else
+      miss.join(fuzzy.select("conv_id", "turn_idx", "start", "end"),
+          Seq("conv_id", "turn_idx", "start", "end"), "left_anti")
+        .withColumn("entity_id", lit(null).cast("string"))
+        .withColumn("method", lit(null).cast("string"))
+
+    val cols = Seq("conv_id", "turn_idx", "start", "end", "label", "surface",
+      "entity_id", "method").map(col)
+    hit.select(cols: _*)
+      .unionByName(fuzzy.select(cols: _*))
+      .unionByName(stillMiss.select(cols: _*))
+      .as[LinkedMention]
+  }
+}

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Dedup / similarity / text-analysis / multimodal operator specs on
+  * planted fixtures (deterministic, no external data).
+  */
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup
+    (3L, "completely different content about spark shuffle partitions and joins"),
+    (4L, "THE  Quick Brown fox jumps over the lazy dog near the river bank today") // case/ws dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id per normalized fingerprint") {
+    val kept = Dedup.exact(docs).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(0L, 2L, 3L))
+  }
+
+  test("exact groups report copies") {
+    val g = Dedup.exactGroups(docs).collect()
+    assert(g.length == 1 && g(0).getAs[Long]("n_copies") == 3 && g(0).getAs[Long]("keep_id") == 0)
+  }
+
+  test("ngram jaccard finds near-dups, not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs.filter(col("doc_id").isin(0, 2, 3)),
+        k = 3, threshold = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((0L, 2L)))
+  }
+
+  test("minhash LSH candidates include the near-dup pair") {
+    val pairs = Dedup.minhashLshPairs(docs.filter(col("doc_id").isin(0, 2, 3)),
+        k = 3, maxDist = 0.6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("simhash: identical docs get identical sketches; near-dups low hamming") {
+    val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    val hamNear = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    val hamFar = java.lang.Long.bitCount(sh(0L) ^ sh(3L))
+    assert(hamNear < hamFar, s"near=$hamNear far=$hamFar")
+  }
+
+  test("cosine near-dup pairs find planted duplicate vector") {
+    val base = (0 until 64).map(i => math.sin(i + 1).toFloat).toArray
+    val dup = base.map(x => x * 1.001f)
+    val other = (0 until 64).map(i => math.cos(3 * i + 2).toFloat).toArray
+    val emb = Seq((0L, base), (1L, dup), (2L, other)).toDF("vec_id", "embedding")
+    val pairs = Dedup.cosineNearDupPairs(emb, threshold = 0.99, planes = 4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((0L, 1L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def vec(seed: Int): Array[Float] = {
+    val rnd = new scala.util.Random(seed)
+    val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val n = math.sqrt(v.map(x => x * x).sum).toFloat
+    v.map(_ / n)
+  }
+
+  test("brute-force top-k returns the true nearest neighbors") {
+    val vs = (0 until 50).map(i => (i.toLong, vec(i)))
+    val emb = vs.toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(emb.filter($"vec_id" === 0), emb, 5)
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    // independent truth: compute cosines in plain Scala
+    val q = vs(0)._2
+    def cos(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    val truth = vs.drop(1).map { case (id, v) => id -> cos(q, v) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    assert(topk.sortBy(_._2).map(_._1).toSeq == truth.toSeq)
+  }
+
+  test("LSH top-k: the query's own bucket contains itself and scores sane") {
+    val vs = (0 until 200).map(i => (i.toLong, vec(i)))
+    val emb = vs.toDF("vec_id", "embedding")
+    val res = Similarity.lshTopK(emb.filter($"vec_id" < 3), emb, 3, planes = 3)
+    val rows = res.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(2) <= 3))
+  }
+
+  test("sign buckets are deterministic across evaluations") {
+    val vs = (0 until 20).map(i => (i.toLong, vec(i)))
+    val emb = vs.toDF("vec_id", "embedding")
+    val b1 = Similarity.withSignBucket(emb, 6, 64).select("vec_id", "bucket").collect().toSet
+    val b2 = Similarity.withSignBucket(emb, 6, 64).select("vec_id", "bucket").collect().toSet
+    assert(b1 == b2)
+  }
+}
+
+class TextAnalysisSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("token counts handle empty and multi-space text") {
+    val df = Seq((0L, "a b  c"), (1L, ""), (2L, "   "), (3L, "one")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.tokenCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 3, 1L -> 0, 2L -> 0, 3L -> 1))
+  }
+
+  test("langId picks stopword-majority language, zh on CJK") {
+    val df = Seq(
+      (0L, "the cat and the hat of a dog"),
+      (1L, "der hund und die katze ist ein tier"),
+      (2L, "el perro y la casa de madrid es"),
+      (3L, "le chat et la maison est un animal"),
+      (4L, "这 是 中文 文本"),
+      (5L, "xyzzy plugh")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "en"); assert(got(1L) == "de"); assert(got(2L) == "es")
+    assert(got(3L) == "fr"); assert(got(4L) == "zh"); assert(got(5L) == "und")
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq((0L, "Hello  World"), (1L, "hello world")).toDF("doc_id", "text")
+    val fps = df.select(TextAnalysis.fingerprint($"text")).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+
+  test("rolling min-hash fingerprint stable and shift-sensitive") {
+    val df = Seq((0L, "a b c d e f g"), (1L, "a b c d e f g"), (2L, "b c d e f g h"))
+      .toDF("doc_id", "text")
+    val fp = df.select($"doc_id", TextAnalysis.rollingMinHash($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(0L) == fp(1L))
+  }
+}
+
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("binary round-trip: synth → decode recovers header fields deterministically") {
+    val docs = Seq((1L, "hello world payload"), (2L, "another payload body x"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.synthMedia(docs)
+    val metas = Multimodal.decode(media).collect().sortBy(_.media_id)
+    assert(metas.length == 2)
+    assert(metas.forall(m => m.width >= 0 && m.width < 4096))
+    assert(metas.forall(m => m.n_bytes > 20))
+    assert(metas.map(_.kind).forall(Set("image", "audio", "video")))
+    // determinism
+    val again = Multimodal.decode(media).collect().sortBy(_.media_id)
+    assert(metas.toSeq == again.toSeq)
+  }
+}
