@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core._
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.stages.{Canon, Detect, Link, Pipeline, Triples}
+import graft.stages.{Canon, Detect, Eval, Link, Pipeline, Triples}
 import graft.synth.Transcripts
 
 /** Driver contract — queries (Spark) + oracleSql (DuckDB) pairs.
@@ -235,6 +235,98 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_convs"), sum(col("n_triples")).as("n_triples"),
           max(col("n_triples")).as("max_per_conv"))
     }),
+    "q27_label_frequency" -> ((s, dir) => {
+      // label frequency count over gazetteer hits (dis_calc.py:56-72 shape):
+      // repeat vs non-repeat = count vs countDistinct
+      tbl(s, dir, "documents")
+        .select(explode(expr(
+          "regexp_extract_all(text, '\\\\b(spark|customer|vector|window|table|stream)\\\\b', 0)"))
+          .as("surface"))
+        .withColumn("label",
+          when(col("surface").isin("spark", "customer"), "ENT")
+            .otherwise("TERM"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_total"), countDistinct(col("surface")).as("n_distinct"))
+        .orderBy(col("label"))
+    }),
+    "q28_matched_words_sorted" -> ((s, dir) => {
+      // corpus matched-word scan → global sorted distinct set
+      // (lexicon_factory.py:37-58 semantics, gazetteer stand-in for trie)
+      tbl(s, dir, "documents")
+        .select(explode(expr(
+          "regexp_extract_all(text, '\\\\b(spark|customer|vector|window|table|stream|batch)\\\\b', 0)"))
+          .as("word"))
+        .distinct().orderBy(col("word"))
+    }),
+    "q29_time_windows" -> ((s, dir) => {
+      // tumbling event-time windows over events (streaming-shape agg, batch)
+      tbl(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("timestamp_ltz").as("window_start"),
+          col("event_type"), col("n"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+    "q30_topk_docs_per_lang" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      tbl(s, dir, "documents")
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"), col("rk"))
+    }),
+    "q31_overlap_check" -> ((s, dir) => {
+      // train/dev leakage audit shape (first tokens shared between splits)
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").getItem(0).as("w"))
+      val even = docs.filter(pmod(col("doc_id"), lit(2)) === 0).select("w").distinct()
+      val odd = docs.filter(pmod(col("doc_id"), lit(2)) === 1).select("w").distinct()
+      graft.ops.Augment.overlap(even, odd, "w").orderBy(col("w"))
+    }),
+    "q32_except_seen" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").getItem(0).as("w"))
+      val even = docs.filter(pmod(col("doc_id"), lit(2)) === 0).select("w").distinct()
+      val odd = docs.filter(pmod(col("doc_id"), lit(2)) === 1).select("w").distinct()
+      graft.ops.Augment.exceptSeen(even, odd, Seq("w")).orderBy(col("w"))
+    }),
+    "q33_embedding_gather" -> ((s, dir) => {
+      // vocab × embedding-table gather with deterministic seeded fallback
+      // (embedding.py:45-69); oracle checks the hit/miss partitioning
+      val emb = tbl(s, dir, "embeddings")
+        .filter(col("vec_id") < 30)
+        .select(concat(lit("w"), col("vec_id")).as("word"), col("embedding"))
+      val vocab = tbl(s, dir, "embeddings").filter(col("vec_id") < 60)
+        .select(concat(lit("w"), col("vec_id")).as("word"))
+      graft.ops.Augment.embeddingGather(vocab, emb, dim = 64)
+        .select(col("word"), col("pretrained")).orderBy(col("word"))
+    }),
+    "q34_augment_expansion" -> ((s, dir) => {
+      import s.implicits._
+      val turns = Transcripts.turns(s, math.max(20L, convsFor(dir) / 10))
+      val tagger = Detect.lexiconTagger(s, Transcripts.aliasRows, Transcripts.tagSet)
+      val mentions = Detect.run(turns, tagger).toDF()
+      graft.ops.Augment.expandByReplacement(turns, mentions, copies = 2)
+        .groupBy(col("attempt")).agg(count(lit(1)).as("n_expanded"))
+        .orderBy(col("attempt"))
+    }),
+    "q35_self_label_vocab" -> ((s, dir) => {
+      val tagger = Detect.lexiconTagger(s, Transcripts.aliasRows, Transcripts.tagSet)
+      val words = tbl(s, dir, "documents").limit(200)
+        .select(split(trim(col("text")), "\\s+").getItem(0).as("word")).distinct()
+        .unionByName(s.createDataFrame(
+          Transcripts.aliasRows.map(r => Tuple1(r.surface))).toDF("word"))
+      graft.ops.Augment.selfLabelVocab(s, words, tagger)
+        .withColumn("head_tag", col("tags").getItem(0))
+        .groupBy(col("head_tag")).agg(count(lit(1)).as("n"))
+        .orderBy(col("head_tag"))
+    }),
+    "q36_per_type_report" -> ((s, dir) => {
+      val n = math.max(20L, convsFor(dir) / 10)
+      val r = Pipeline.run(s, n)
+      val gold = Transcripts.goldMentions(s, n).toDF()
+      Eval.perTypeReport(r.mentions, gold).orderBy(col("label").asc_nulls_first)
+    }),
     "q26_canon_components" -> ((s, dir) => {
       Canon.connectedComponents(
         Transcripts.sameAs.foldLeft(
@@ -374,6 +466,42 @@ object SparkEntry {
            FROM shf x JOIN shf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
            GROUP BY x.doc_id, y.doc_id, x.n_sh, y.n_sh)
          WHERE jaccard >= 0.8 ORDER BY a, b""",
+    "q27_label_frequency" ->
+      """SELECT CASE WHEN surface IN ('spark','customer') THEN 'ENT' ELSE 'TERM' END AS label,
+         COUNT(*) AS n_total, COUNT(DISTINCT surface) AS n_distinct
+         FROM (SELECT UNNEST(regexp_extract_all(text,
+           '\b(spark|customer|vector|window|table|stream)\b')) AS surface FROM documents)
+         GROUP BY 1 ORDER BY 1""",
+    "q28_matched_words_sorted" ->
+      """SELECT DISTINCT UNNEST(regexp_extract_all(text,
+           '\b(spark|customer|vector|window|table|stream|batch)\b')) AS word
+         FROM documents ORDER BY word""",
+    "q29_time_windows" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, COUNT(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q30_topk_docs_per_lang" ->
+      """SELECT lang, rk, doc_id, n_chars FROM (
+           SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY n_chars DESC, doc_id ASC) AS rk FROM documents)
+         WHERE rk <= 3 ORDER BY lang, rk""",
+    "q31_overlap_check" ->
+      """SELECT w FROM (
+           SELECT DISTINCT split_part(trim(text), ' ', 1) AS w FROM documents WHERE doc_id % 2 = 0
+           INTERSECT
+           SELECT DISTINCT split_part(trim(text), ' ', 1) AS w FROM documents WHERE doc_id % 2 = 1)
+         ORDER BY w""",
+    "q32_except_seen" ->
+      """SELECT w FROM (
+           SELECT DISTINCT split_part(trim(text), ' ', 1) AS w FROM documents WHERE doc_id % 2 = 0
+           EXCEPT
+           SELECT DISTINCT split_part(trim(text), ' ', 1) AS w FROM documents WHERE doc_id % 2 = 1)
+         ORDER BY w""",
+    "q33_embedding_gather" ->
+      """SELECT 'w' || v.vec_id AS word, e.vec_id IS NOT NULL AS pretrained
+         FROM embeddings v LEFT JOIN (SELECT vec_id FROM embeddings WHERE vec_id < 30) e
+           ON v.vec_id = e.vec_id
+         WHERE v.vec_id < 60 ORDER BY word""",
     "q17_cosine_topk" ->
       """SELECT query_id, neighbor_id, rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -42,11 +42,27 @@ object SnapshotIO {
       deleteRecursively(tmp)
       val df = compute
       df.write.mode("overwrite").parquet(tmp.toString)
-      val rows = spark.read.parquet(tmp.toString).count()
+      // per-partition lineage counters over the committed snapshot
+      // (north_rule: every stage writes per-partition counters): one row per
+      // stored partition, plus the aggregate in the manifest
+      import org.apache.spark.sql.functions.{col, count, lit, spark_partition_id}
+      val partCounts = spark.read.parquet(tmp.toString)
+        .groupBy(spark_partition_id().as("partition_id"))
+        .agg(count(lit(1)).as("rows"))
+        .withColumn("stage", lit(stage))
+        .withColumn("snapshot", lit(inputHash))
+        .select(col("stage"), col("snapshot"), col("partition_id"), col("rows"))
+        .cache()
+      val rows = partCounts.agg(org.apache.spark.sql.functions.sum(col("rows")))
+        .head().getLong(0)
+      partCounts.coalesce(1).write.mode("overwrite")
+        .parquet(Paths.get(base, "_metrics", stage, inputHash).toString)
+      partCounts.unpersist()
       deleteRecursively(dir)
       Files.createDirectories(dir.getParent)
       Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-      val counterJson = counters.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+      val counterJson = (counters + ("rows" -> rows))
+        .map { case (k, v) => s""""$k":$v""" }.mkString(",")
       val manifest =
         s"""{"stage":"$stage","input_hash":"$inputHash","rows":$rows,
            |"committed_at":"${java.time.Instant.now()}","counters":{$counterJson}}"""
@@ -56,6 +72,14 @@ object SnapshotIO {
         manifest.getBytes(StandardCharsets.UTF_8))
     }
     spark.read.parquet(dir.toString)
+  }
+
+  /** All lineage rows recorded under `base` (stage, snapshot, partition_id,
+    * rows) — the queryable metrics table.
+    */
+  def metrics(spark: SparkSession, base: String): DataFrame = {
+    val p = Paths.get(base, "_metrics")
+    spark.read.parquet(s"$p/*/*") // stage/snapshot are data columns, not dirs
   }
 
   def deleteRecursively(p: Path): Unit =

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.synth.Transcripts.mix
+
+/** Weak-labeling / data-augmentation operators (SURVEY.md §2.8) plus the
+  * dictionary-building joins of §2.3 that aren't part of the linking stage.
+  */
+object Augment {
+
+  /** label → length → surfaces index for same-label same-length replacement
+    * sampling (`CC/loaders/utils/label_collections.py:63-95`): built as a
+    * relational aggregate, collected + broadcast (dictionary-sized).
+    */
+  def labelCollection(mentions: DataFrame): DataFrame =
+    mentions.groupBy(col("label"), length(col("surface")).as("len"))
+      .agg(sort_array(collect_set(col("surface"))).as("surfaces"))
+
+  /** Entity-replacement expansion (`tools/expand_data.py:56-111`): for each
+    * turn with mentions, emit up to `rate` extra copies where every gold
+    * span is replaced by a seeded-random same-label same-length surface.
+    * Deviation from the reference recorded in SURVEY §7.4: the reference
+    * draws from a global RNG; we key every draw on
+    * `hash(conv_id, turn_idx, attempt, span)` so the expansion is
+    * deterministic under any partitioning. Provenance is kept per
+    * replacement (origin surface + offsets), mirroring the reference's
+    * `replace` records (expand_data.py:94-100).
+    */
+  def expandByReplacement(turns: Dataset[Turn], mentions: DataFrame,
+                          copies: Int = 1): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+
+    val coll = labelCollection(mentions).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getSeq[String](2).toVector).toMap
+    val collB = spark.sparkContext.broadcast(coll)
+
+    val perTurn = mentions.groupBy(col("conv_id"), col("turn_idx"))
+      .agg(sort_array(collect_list(struct(col("start"), col("end"),
+        col("label"), col("surface")))).as("ms"))
+
+    turns.toDF().join(perTurn, Seq("conv_id", "turn_idx"))
+      .flatMap { row =>
+        val convId = row.getString(0); val turnIdx = row.getInt(1)
+        val text = row.getString(3)
+        val ms = row.getSeq[org.apache.spark.sql.Row](row.length - 1)
+          .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3)))
+        val dict = collB.value
+        (1 to copies).iterator.flatMap { attempt =>
+          val sb = new StringBuilder
+          var last = 0
+          var changed = false
+          val prov = scala.collection.mutable.ListBuffer.empty[(Int, Int, String)]
+          for (((start, end, label, surface), k) <- ms.zipWithIndex) {
+            sb.append(text.substring(last, start))
+            val pool = dict.getOrElse((label, surface.length), Vector(surface))
+            val pick = pool((((mix(convId.hashCode.toLong ^ (turnIdx.toLong << 20)
+              ^ (attempt.toLong << 40) ^ k.toLong) >>> 1) % pool.length).toInt))
+            if (pick != surface) changed = true
+            prov += ((sb.length, sb.length + pick.length, surface))
+            sb.append(pick)
+            last = end
+          }
+          sb.append(text.substring(last))
+          // reference dedups replacements identical to the origin
+          // (expand_data.py:102-109 "except" semantics)
+          if (changed)
+            Some((convId, turnIdx, attempt, sb.result(),
+              prov.toSeq.map(p => s"${p._1}:${p._2}<-${p._3}")))
+          else None
+        }
+      }.toDF("conv_id", "turn_idx", "attempt", "text", "provenance")
+  }
+
+  /** Self-labeling of a vocabulary (`t1.py:154-175`): run the mention
+    * tagger over each vocab word as if it were a tiny document, emit
+    * `(word, tags)` — the bootstrap that produces the alias dictionary.
+    */
+  def selfLabelVocab(spark: SparkSession, words: DataFrame,
+                     tagger: org.apache.spark.broadcast.Broadcast[graft.stages.MentionTagger]): DataFrame = {
+    import spark.implicits._
+    words.select(col("word")).as[String].mapPartitions { it =>
+      val tg = tagger.value
+      it.grouped(2048).flatMap { chunk => // batch size per t1.py:158
+        chunk.zip(tg.tagBatch(chunk)).map { case (w, tags) => (w, tags.toSeq) }
+      }
+    }.toDF("word", "tags")
+  }
+
+  /** Embedding gather (`CC/loaders/utils/embedding.py:45-69`): vocab ×
+    * embedding table left join; misses get a deterministic seeded uniform
+    * ±sqrt(3/dim) vector (reference uses a global RNG — we key the RNG on
+    * the word's hash, a documented deviation for partition-independence).
+    */
+  def embeddingGather(vocab: DataFrame, embeddings: DataFrame, dim: Int): DataFrame = {
+    val bound = math.sqrt(3.0 / dim)
+    val seeded = transform(sequence(lit(0), lit(dim - 1)), i =>
+      (pmod(xxhash64(col("word"), i), lit(1000000L)).cast("double") / 500000.0 - 1.0)
+        * bound)
+    val emb = embeddings.select(col("word").as("_emb_word"),
+      col("embedding").as("_emb_vec"))
+    vocab.join(broadcast(emb), vocab("word") === emb("_emb_word"), "left")
+      .select(vocab("word"),
+        coalesce(col("_emb_vec"), seeded.cast("array<float>")).as("embedding"),
+        col("_emb_vec").isNotNull.as("pretrained"))
+  }
+
+  /** Train/dev leakage check (`NER.ipynb` cells 0-2): texts present in both
+    * splits. left_semi keeps it a single shuffle-free broadcast when dev is
+    * small.
+    */
+  def overlap(train: DataFrame, dev: DataFrame, key: String = "text"): DataFrame =
+    train.join(dev.select(col(key)), Seq(key), "left_semi")
+
+  /** Sample-key dedup with "except" semantics (`expand_data.py:66-72`):
+    * new items not already in `seen`.
+    */
+  def exceptSeen(newItems: DataFrame, seen: DataFrame, keys: Seq[String]): DataFrame =
+    newItems.join(seen.select(keys.map(col): _*), keys, "left_anti")
+}

@@ -97,4 +97,29 @@ object Eval {
 
   val spanKeys = Seq("conv_id", "turn_idx", "start", "end", "label")
   val tripleKeys = Seq("subj", "pred", "obj", "conv_id", "turn_idx")
+
+  /** Per-type classification report (`CC/trainer.py:243-246` /
+    * `origin_bert.py:140-141` analog): per-label P/R/F1 plus a micro total
+    * row (label = null), via `rollup` over the match/pred/gold counts.
+    */
+  def perTypeReport(pred: DataFrame, gold: DataFrame,
+                    keys: Seq[String] = spanKeys): DataFrame = {
+    val p = pred.select(keys.map(col): _*).distinct()
+    val g = gold.select(keys.map(col): _*).distinct()
+    val joinKeys = keys
+    val both = p.withColumn("in_pred", lit(1))
+      .join(g.withColumn("in_gold", lit(1)), joinKeys, "full_outer")
+      .select(col("label"),
+        coalesce(col("in_pred"), lit(0)).as("in_pred"),
+        coalesce(col("in_gold"), lit(0)).as("in_gold"))
+    both.rollup(col("label"))
+      .agg(sum(col("in_pred") * col("in_gold")).as("n_match"),
+        sum(col("in_pred")).as("n_pred"),
+        sum(col("in_gold")).as("n_gold"))
+      .withColumn("precision", round(col("n_match") / greatest(col("n_pred"), lit(1)), 6))
+      .withColumn("recall", round(col("n_match") / greatest(col("n_gold"), lit(1)), 6))
+      .withColumn("f1", round(
+        lit(2) * col("precision") * col("recall") /
+          greatest(col("precision") + col("recall"), lit(1e-12)), 6))
+  }
 }

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.io.Formats
+
+class FormatsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def tmpFile(name: String, content: String): String = {
+    val d = Files.createTempDirectory("graft_fmt")
+    val p = d.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("JSONL sentence source parses the reference wire format (cn_data_manager.py:174-194)") {
+    // exact fixture from FIXTURES.md §1
+    val path = tmpFile("s.jsonl",
+      """{"text": ["坐","落","于","福","州"], "label": ["O","O","O","B-LOC","E-LOC"]}
+        |{"text": ["你","好"], "label": ["O","O"]}
+        |""".stripMargin)
+    val df = Formats.readSentencesJsonl(spark, path)
+    assert(df.count() == 2)
+    val r = df.orderBy(size(col("text")).desc).head()
+    assert(r.getSeq[String](0).mkString == "坐落于福州")
+    assert(r.getSeq[String](1) == Seq("O", "O", "O", "B-LOC", "E-LOC"))
+    assert(df.filter(!col("_valid")).count() == 0)
+  }
+
+  test("JSONL strict mode rejects length mismatch (cn_loader.py:91-102)") {
+    val path = tmpFile("bad.jsonl", """{"text": ["a","b"], "label": ["O"]}""")
+    intercept[IllegalArgumentException] {
+      Formats.readSentencesJsonl(spark, path, strict = true).count()
+    }
+  }
+
+  test("CoNLL source segments on blank lines (cn_data_manager.py:117-141)") {
+    val path = tmpFile("c.conll",
+      "我 O\n爱 O\n北 B-LOC\n京 E-LOC\n\n天 B-LOC\n安 I-LOC\n门 E-LOC\n")
+    val df = Formats.readConll(spark, path)
+    val sents = df.groupBy("sentence_id").agg(
+      concat_ws("", collect_list(col("word"))).as("s")).orderBy("sentence_id")
+      .collect().map(_.getString(1))
+    assert(sents.toSeq == Seq("我爱北京", "天安门"))
+    val tags = df.filter(col("word") === "北").select("tag").head().getString(0)
+    assert(tags == "B-LOC")
+  }
+
+  test("CoNLL extreme drops pattern rows before segmentation (cn_data_manager.py:146-172)") {
+    val path = tmpFile("c2.conll", "a O\n， O\nb B-PER\n")
+    val df = Formats.readConllExtreme(spark, path, dropPattern = "， O")
+    assert(df.count() == 2)
+    assert(!df.select("word").collect().map(_.getString(0)).contains("，"))
+  }
+
+  test("embedding text source: header skipped, last-dim values taken (embedding.py:14-34)") {
+    val path = tmpFile("e.txt",
+      "3 4\nfoo 0.1 0.2 0.3 0.4\nbar 1 2 3 4\nbaz 9 9 9 9\n")
+    val df = Formats.readEmbeddingTxt(spark, path)
+    assert(df.count() == 3)
+    val foo = df.filter(col("word") === "foo").head().getSeq[Float](1)
+    assert(foo == Seq(0.1f, 0.2f, 0.3f, 0.4f))
+  }
+
+  test("vocab source takes first token per line, maxScan caps (vocab.py:36-63)") {
+    val path = tmpFile("v.txt", "alpha 1 2\nbeta\ngamma x\ndelta\n")
+    assert(Formats.readVocabTxt(spark, path).collect().map(_.getString(0)).toSeq
+      == Seq("alpha", "beta", "gamma", "delta"))
+    assert(Formats.readVocabTxt(spark, path, maxScan = 2).count() == 2)
+  }
+
+  test("tagged vocab JSONL: [word, tags] incl. char-list words (vocab_tag.py:58-71)") {
+    val path = tmpFile("tv.jsonl",
+      """["福州", ["B-LOC", "E-LOC"]]
+        |[["北","京"], ["B-LOC", "E-LOC"]]
+        |""".stripMargin)
+    val got = Formats.readTaggedVocabJsonl(spark, path).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got.keySet == Set("福州", "北京"))
+    assert(got("北京") == Seq("B-LOC", "E-LOC"))
+  }
+
+  test("span-JSON → BMES char rows (to_json.py converters)") {
+    val df = Seq((1L, "x福州y", Seq((1, 3, "LOC")))).toDF("doc_id", "text", "raw")
+      .withColumn("spans", expr(
+        "transform(raw, r -> named_struct('start', r._1, 'end', r._2, 'label', r._3))"))
+      .drop("raw")
+    val tags = Formats.spansToCharTags(df).orderBy("pos")
+      .collect().map(r => (r.getString(2), r.getString(3)))
+    assert(tags.toSeq == Seq(("x", "O"), ("福", "B-LOC"), ("州", "E-LOC"), ("y", "O")))
+  }
+
+  test("single-char span becomes S- (get_labels has_single semantics)") {
+    val df = Seq((1L, "a福b", Seq((1, 2, "LOC")))).toDF("doc_id", "text", "raw")
+      .withColumn("spans", expr(
+        "transform(raw, r -> named_struct('start', r._1, 'end', r._2, 'label', r._3))"))
+      .drop("raw")
+    val tag = Formats.spansToCharTags(df).filter(col("ch") === "福")
+      .head().getString(3)
+    assert(tag == "S-LOC")
+  }
+
+  test("label merge preserves first-seen order (merge_json.py:17-33)") {
+    val merged = Formats.mergeLabelLists(spark,
+      Seq(Seq("O", "B-PER"), Seq("B-PER", "B-ORG"), Seq("O", "S-LOC")))
+    assert(merged == Seq("O", "B-PER", "B-ORG", "S-LOC"))
+  }
+
+  test("sentence JSONL round-trip (predictions sink, weibo.py:57-64)") {
+    val out = Files.createTempDirectory("graft_snk").toString + "/pred"
+    val df = Seq((Seq("a", "b"), Seq("O", "O"))).toDF("text", "label")
+    Formats.writeSentencesJsonl(df, out)
+    val back = Formats.readSentencesJsonl(spark, out)
+    assert(back.count() == 1)
+    assert(back.head().getSeq[String](0) == Seq("a", "b"))
+  }
+}
