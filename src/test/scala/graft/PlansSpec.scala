@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.stages._
+import graft.synth.Transcripts
+
+/** Physical-plan audits: the scale properties claimed in the scaladoc are
+  * asserted here against `.explain` output, so a regression that silently
+  * changes a broadcast join into a shuffle join (or drops a parquet filter
+  * pushdown) fails the suite — not just the benchmark.
+  */
+class PlansSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01 scan pushes the shipdate filter and prunes columns") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in:\n$p")
+    // projection pruning: the scan must not read unneeded columns
+    assert(!p.contains("l_comment") && !p.contains("l_suppkey"))
+  }
+
+  test("q02 joins dimensions via broadcast, fact side never shuffles for the dims") {
+    val df = SparkEntry.queries("q02_revenue_by_nation")(spark, "/root/testdata/sf0.001")
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$p")
+  }
+
+  test("entity linking is a broadcast hash join on the alias dictionary") {
+    val mentions = Seq(Mention("c", 0, 0, 5, "ORG", "Acme Corp")).toDS()
+    val linked = Link.run(mentions, Transcripts.aliasRows.toDF(), enableFuzzy = false)
+    val p = plan(linked.toDF())
+    assert(p.contains("BroadcastHashJoin"), s"alias join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("triple assembly contains no self-join of the mention table") {
+    val canon = Seq(CanonMention("c", 0, 0, 5, "PER", "x", "PER00", "PER00")).toDS()
+    val p = plan(Triples.run(canon).toDF())
+    // one aggregate + one window over the aggregated relation; no join at all
+    assert(!p.contains("Join"), s"triples must not join:\n$p")
+    assert(p.contains("Window"))
+  }
+
+  test("brute-force top-k broadcasts the query side, not the corpus") {
+    val emb = (0 until 10).map(i => (i.toLong, Array.fill(4)(i.toFloat))).toDF("vec_id", "embedding")
+    val p = plan(graft.ops.Similarity.bruteForceTopK(emb.filter($"vec_id" < 2), emb, 3))
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected broadcast cross join:\n$p")
+  }
+
+  test("whole-stage codegen covers the scalar text-analysis path") {
+    // NOTE: higher-order functions (transform/filter/aggregate lambdas) are
+    // CodegenFallback in Spark — the HOF-based profile columns run
+    // interpreted. The scalar subset (regexp, md5, length math) must stay
+    // inside WholeStageCodegen.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = docs.select(col("doc_id"),
+      graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"),
+      graft.ops.TextAnalysis.punctRatio(col("text")).as("pr"))
+      .filter(col("pr") >= 0)
+    val p = plan(df)
+    // executedPlan.toString renders codegen spans as "*(n) Operator"
+    assert(p.contains("*(") || p.contains("WholeStageCodegen"),
+      s"scalar path must stay codegen'd:\n$p")
+  }
+
+  test("salted per-conversation aggregation is two-phase") {
+    val t = Seq(Triple("a", "p", "b", "c1", 0)).toDS()
+    val p = plan(Triples.triplesPerConversation(t))
+    // two HashAggregate pairs: (partial+final) on (conv_id, salt), then on conv_id
+    val nAggs = "HashAggregate".r.findAllIn(p).length
+    assert(nAggs >= 4, s"expected two-phase agg, got $nAggs HashAggregates:\n$p")
+  }
+}
