@@ -197,6 +197,11 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q37_ann_ivf_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, k = 3,
+        nlist = 16, nprobe = 3)
+    }),
     "q18_ann_lsh_topk" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, k = 3, planes = 4)
@@ -284,8 +289,12 @@ object SparkEntry {
       graft.ops.Augment.overlap(even, odd, "w").orderBy(col("w"))
     }),
     "q32_except_seen" -> ((s, dir) => {
+      // first-bigram key: single first tokens fully overlap between splits
+      // at every sf (tiny vocabulary), which would make the check vacuous
       val docs = tbl(s, dir, "documents")
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").getItem(0).as("w"))
+        .select(col("doc_id"), concat_ws(" ",
+          split(trim(col("text")), "\\s+").getItem(0),
+          split(trim(col("text")), "\\s+").getItem(1)).as("w"))
       val even = docs.filter(pmod(col("doc_id"), lit(2)) === 0).select("w").distinct()
       val odd = docs.filter(pmod(col("doc_id"), lit(2)) === 1).select("w").distinct()
       graft.ops.Augment.exceptSeen(even, odd, Seq("w")).orderBy(col("w"))
@@ -493,9 +502,11 @@ object SparkEntry {
          ORDER BY w""",
     "q32_except_seen" ->
       """SELECT w FROM (
-           SELECT DISTINCT split_part(trim(text), ' ', 1) AS w FROM documents WHERE doc_id % 2 = 0
+           SELECT DISTINCT split_part(trim(text), ' ', 1) || ' ' || split_part(trim(text), ' ', 2) AS w
+           FROM documents WHERE doc_id % 2 = 0
            EXCEPT
-           SELECT DISTINCT split_part(trim(text), ' ', 1) AS w FROM documents WHERE doc_id % 2 = 1)
+           SELECT DISTINCT split_part(trim(text), ' ', 1) || ' ' || split_part(trim(text), ' ', 2) AS w
+           FROM documents WHERE doc_id % 2 = 1)
          ORDER BY w""",
     "q33_embedding_gather" ->
       """SELECT 'w' || v.vec_id AS word, e.vec_id IS NOT NULL AS pretrained

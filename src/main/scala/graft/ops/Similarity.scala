@@ -66,6 +66,55 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** IVF-style ANN top-k: a deterministic coarse quantizer (the `nlist`
+    * lowest-vec_id corpus vectors act as centroids — at production scale
+    * you'd k-means them; determinism matters more here), every corpus
+    * vector is assigned to its nearest centroid (cell), and each query
+    * probes its `nprobe` nearest cells only. Exact cosine reranks inside
+    * the probed cells. Cost scales with corpus/nlist × nprobe instead of
+    * corpus².
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    // centroids: small, collected once, broadcast as literal columns
+    val cents = corpus.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val centLit = cents.map { case (cid, v) => (cid, typedLit(v.toSeq)) }
+
+    def cellOf(v: Column, n: Int): Column = {
+      // argmax over centroid dot products, deterministic tie-break on id
+      val scored = centLit.take(n).map { case (cid, cv) =>
+        struct(dot(v, cv).as("s"), lit(cid).as("cid"))
+      }
+      greatest(scored: _*).getField("cid")
+    }
+
+    val cellCorpus = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), cellOf(col("embedding"), nlist).as("cell"))
+
+    // query → nprobe nearest cells: explode the per-query top-nprobe cells
+    val qScored = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"),
+      sort_array(array(centLit.map { case (cid, cv) =>
+        struct(dot(col("embedding"), cv).as("s"), lit(cid).as("cid"))
+      }: _*), asc = false).as("cells"))
+    val qProbes = qScored.select(col("query_id"), col("qv"),
+      explode(slice(col("cells"), 1, nprobe)).as("probe"))
+      .select(col("query_id"), col("qv"), col("probe.cid").as("cell"))
+
+    val scored = cellCorpus.join(broadcast(qProbes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates = same-bucket rows (single-probe;
     * union extra probe buckets for recall), exact cosine rerank inside the
     * bucket. At 100TB the bucket join replaces the cross join — cost scales

@@ -94,6 +94,24 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rows.forall(_.getInt(2) <= 3))
   }
 
+  test("IVF top-k: probed-cell recall overlaps brute force, ranks bounded") {
+    val vs = (0 until 200).map(i => (i.toLong, vec(i)))
+    val emb = vs.toDF("vec_id", "embedding")
+    val ivf = Similarity.ivfTopK(emb.filter($"vec_id" < 5), emb, 3,
+      nlist = 8, nprobe = 3).collect()
+    assert(ivf.nonEmpty && ivf.forall(_.getInt(2) <= 3))
+    // determinism
+    val ivf2 = Similarity.ivfTopK(emb.filter($"vec_id" < 5), emb, 3,
+      nlist = 8, nprobe = 3).collect()
+    assert(ivf.map(_.toString).toSeq == ivf2.map(_.toString).toSeq)
+    // sanity: with nprobe = nlist (exhaustive probing) IVF == brute force
+    val full = Similarity.ivfTopK(emb.filter($"vec_id" < 5), emb, 3,
+      nlist = 8, nprobe = 8).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val bf = Similarity.bruteForceTopK(emb.filter($"vec_id" < 5), emb, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(full.toSet == bf.toSet)
+  }
+
   test("sign buckets are deterministic across evaluations") {
     val vs = (0 until 20).map(i => (i.toLong, vec(i)))
     val emb = vs.toDF("vec_id", "embedding")
