@@ -36,7 +36,20 @@ object Triples {
   private case class TurnMentions(conv_id: String, turn_idx: Int,
                                   ms: Seq[(Int, String, String)]) // (start, label, canon)
 
-  def run(canon: Dataset[CanonMention]): Dataset[Triple] = {
+  def run(canon: Dataset[CanonMention]): Dataset[Triple] =
+    assemble(canon, useWindow = true)
+
+  /** Scale-path variant: the cross-turn context comes from an equi-join on
+    * (conv_id, turn_idx−1) instead of a per-conversation window. Exactly
+    * equivalent for the k=1 rule (asserted in tests), and immune to the
+    * window's whole-conversation-in-one-partition requirement — the join
+    * shuffles on the composite key, so a million-turn conversation spreads
+    * across reducers. Use when conversation sizes are unbounded.
+    */
+  def runJoinBased(canon: Dataset[CanonMention]): Dataset[Triple] =
+    assemble(canon, useWindow = false)
+
+  private def assemble(canon: Dataset[CanonMention], useWindow: Boolean): Dataset[Triple] = {
     val spark = canon.sparkSession
     import spark.implicits._
 
@@ -46,10 +59,19 @@ object Triples {
       .agg(sort_array(collect_list(struct(col("start"), col("label"),
         col("canonical_id")))).as("ms"))
 
-    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
-    val withPrev = perTurn
-      .withColumn("prev_idx", lag(col("turn_idx"), 1).over(w))
-      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+    val withPrev = if (useWindow) {
+      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      perTurn
+        .withColumn("prev_idx", lag(col("turn_idx"), 1).over(w))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+    } else {
+      val prev = perTurn.select(col("conv_id"),
+        (col("turn_idx") + 1).as("turn_idx"),
+        col("turn_idx").as("prev_idx"), col("ms").as("prev_ms"))
+      perTurn.join(prev, Seq("conv_id", "turn_idx"), "left")
+        .select(col("conv_id"), col("turn_idx"), col("ms"),
+          col("prev_idx"), col("prev_ms"))
+    }
 
     withPrev.flatMap { row =>
       val convId = row.getString(0)

@@ -48,6 +48,16 @@ class PipelineSpec extends SparkSpecBase {
     assert(prf.recall == 1.0, s"recall ${prf.recall} (${prf.nMatch} matched of ${prf.nGold})")
   }
 
+  test("join-based triple assembly (scale path) is exactly equivalent to the window") {
+    import spark.implicits._
+    val canon = result.canon.as[graft.core.CanonMention]
+    val viaWindow = Triples.run(canon)
+      .orderBy("conv_id", "turn_idx", "subj", "pred", "obj").collect().toSeq
+    val viaJoin = Triples.runJoinBased(canon)
+      .orderBy("conv_id", "turn_idx", "subj", "pred", "obj").collect().toSeq
+    assert(viaWindow == viaJoin)
+  }
+
   test("canonicalization resolves sibling org ids to component min") {
     val canon = result.canon
     val acme = canon.filter(col("entity_id").isin("ORG00a", "ORG00b"))
@@ -89,6 +99,20 @@ class ResumeSpec extends SparkSpecBase {
     val t3 = Pipeline.runWithSnapshots(spark, 30, dir)
     val rows3 = t3.orderBy("conv_id", "turn_idx", "subj", "pred", "obj").collect().toSeq
     assert(rows1 == rows3)
+    // crash-mid-write simulation: a _tmp_ orphan (no manifest) must NOT be
+    // trusted by resume — stage recomputes and commits atomically over it
+    val mentionsDir = java.nio.file.Paths.get(dir, "mentions")
+    graft.io.SnapshotIO.deleteRecursively(
+      java.nio.file.Paths.get(dir, "mentions", "snapshot=n30_s42"))
+    java.nio.file.Files.createDirectories(
+      mentionsDir.resolve("_tmp_snapshot=n30_s42"))
+    java.nio.file.Files.writeString(
+      mentionsDir.resolve("_tmp_snapshot=n30_s42").resolve("junk.parquet"), "garbage")
+    graft.io.SnapshotIO.deleteRecursively(java.nio.file.Paths.get(dir, "canon"))
+    graft.io.SnapshotIO.deleteRecursively(java.nio.file.Paths.get(dir, "triples"))
+    val t4 = Pipeline.runWithSnapshots(spark, 30, dir)
+    val rows4 = t4.orderBy("conv_id", "turn_idx", "subj", "pred", "obj").collect().toSeq
+    assert(rows1 == rows4)
     graft.io.SnapshotIO.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 }
