@@ -24,10 +24,12 @@ object SparkEntry {
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** transcripts scale tied to the sf dir: ~6k/60k/600k turns (TESTDATA.md). */
+  /** transcripts scale tied to the sf dir: ~6k/60k/600k turns (TESTDATA.md
+    * tiers; mean conversation length ≈ 9.1 turns → 660k convs at sf=1).
+    */
   def convsFor(dir: String): Long = {
     val sf = raw"sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.01)
-    math.max(20L, (66000 * sf).toLong)
+    math.max(20L, (660000 * sf).toLong)
   }
 
   /** Flagship query on sf=0.001: the full KG pipeline, counted per
