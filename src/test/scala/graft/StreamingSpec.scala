@@ -68,6 +68,63 @@ class StreamingSpec extends SparkSpecBase {
   }
 }
 
+class StreamingTriplesSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.streaming.StreamingTriples
+
+  private def cm(conv: String, turn: Int, start: Int, label: String,
+                 canon: String): CanonMention =
+    CanonMention(conv, turn, start, start + 3, label, "xxx", canon, canon)
+
+  test("stateful incremental triples match the batch rules across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[CanonMention]
+    // batch 1: turn 0 with PER+ORG, turn 1 with PER
+    src.addData(
+      cm("c1", 0, 0, "PER", "PER00"), cm("c1", 0, 10, "ORG", "ORG00a"),
+      cm("c1", 1, 0, "PER", "PER01"))
+    val q = StreamingTriples.assemble(src.toDS())
+      .writeStream.format("memory").queryName("t_out").outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2: turn 2 with PER — cross-turn vs turn 1's PER, carried in state
+    src.addData(cm("c1", 2, 0, "PER", "PER02"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT subj, pred, obj, turn_idx FROM t_out")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+    assert(got == Set(
+      ("PER00", "affiliated_with", "ORG00a", 0),
+      ("PER01", "follows_up", "PER00", 1),   // state from batch-1 turn 0
+      ("PER02", "follows_up", "PER01", 2)))  // state carried ACROSS batches
+  }
+
+  test("streaming triples equal batch triples on a full replayed corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val r = graft.stages.Pipeline.run(spark, 25)
+    val canon = r.canon.as[CanonMention].collect().toSeq
+    val src = MemoryStream[CanonMention]
+    val q = StreamingTriples.assemble(src.toDS())
+      .writeStream.format("memory").queryName("t_out2").outputMode("append").start()
+    // feed in two turn-ordered chunks, split at a TURN boundary (a turn's
+    // mentions must land in one micro-batch — the handler treats each
+    // invocation's rows per turn as complete)
+    val ordered = canon.sortBy(m => (m.conv_id, m.turn_idx, m.start))
+    var cut = ordered.size / 2
+    while (cut < ordered.size && ordered(cut - 1).conv_id == ordered(cut).conv_id &&
+           ordered(cut - 1).turn_idx == ordered(cut).turn_idx) cut += 1
+    val (first, second) = ordered.splitAt(cut)
+    src.addData(first); q.processAllAvailable()
+    src.addData(second); q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getInt(4))
+    val streamed = spark.sql("SELECT subj, pred, obj, conv_id, turn_idx FROM t_out2")
+      .collect().map(key).sorted.toSeq
+    val batch = graft.stages.Triples.run(r.canon.as[CanonMention]).toDF()
+      .select("subj", "pred", "obj", "conv_id", "turn_idx")
+      .collect().map(key).sorted.toSeq
+    assert(streamed == batch)
+  }
+}
+
 class MetricsSpec extends SparkSpecBase {
   import graft.io.SnapshotIO
   import graft.stages.Pipeline
