@@ -154,7 +154,8 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
         .groupBy(col("lang"))
-        .agg(sum(col("n_tok")).as("sum_tokens"), max(col("n_tok")).as("max_tokens"),
+        .agg(sum(col("n_tok")).as("sum_tokens"),
+          max(col("n_tok")).cast("long").as("max_tokens"), // int32 → int64 for oracle type parity
           count(lit(1)).as("n_docs"))
         .orderBy(col("lang"))
     }),
@@ -392,7 +393,7 @@ object SparkEntry {
              SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'))
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q07_sessionize_events" ->
-      """SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events FROM (
+      """SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
            SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id
              ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM (
              SELECT user_id, ts, event_id,
@@ -409,7 +410,7 @@ object SparkEntry {
          ORDER BY event_type NULLS FIRST""",
     "q25_events_json" ->
       """SELECT event_type,
-         SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
          COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q09_gazetteer_mentions" ->
@@ -422,7 +423,7 @@ object SparkEntry {
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
     "q11_token_stats" ->
-      """SELECT lang, SUM(n_tok) AS sum_tokens, MAX(n_tok) AS max_tokens,
+      """SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens, CAST(MAX(n_tok) AS BIGINT) AS max_tokens,
          COUNT(*) AS n_docs FROM (
            SELECT lang, len(list_filter(regexp_split_to_array(trim(text), '\s+'),
              t -> len(t) > 0)) AS n_tok FROM documents)
