@@ -13,19 +13,27 @@ import graft.synth.Transcripts.mix
   * with no RNG state) so candidate generation touches only same-bucket rows;
   * multi-probe widens recall.
   *
-  * All vector math is `zip_with`/`aggregate` column expressions — codegen'd,
-  * no UDF, no driver-side collect of the corpus.
+  * All vector math routes through the native codegen'd `FloatVecDot`
+  * Catalyst expression (functions/VectorExpressions.scala) — the HOF
+  * `aggregate(zip_with(...))` formulation is interpreted (~20µs/eval at
+  * dim=64) and is kept only as `dotHof` for the parity test.
   */
 object Similarity {
+  import graft.functions.VectorExpressions.vec_dot
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = vec_dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
+  def norm(a: Column): Column = sqrt(vec_dot(a, a))
 
+  /** cosine = a·b / (|a| max(|b|, ε)) — three codegen'd dots, no HOFs. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * greatest(norm(b), lit(1e-12)))
+    vec_dot(a, b) / (sqrt(vec_dot(a, a)) * greatest(sqrt(vec_dot(b, b)), lit(1e-12)))
+
+  /** Interpreted higher-order-function dot — reference implementation for
+    * VectorExprSpec parity only; do not use on hot paths.
+    */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
   /** Deterministic hyperplane matrix [planes][dim] from splitmix64. */
   def hyperplanes(planes: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] =
@@ -34,13 +42,13 @@ object Similarity {
       (mix(seed ^ (p.toLong << 32) ^ d.toLong).toDouble / Long.MaxValue.toDouble)
     }
 
-  /** Sign-LSH bucket id: bit p = (v · plane_p) >= 0. */
+  /** Sign-LSH bucket id: bit p = (v · plane_p) >= 0. Each plane dot is the
+    * native codegen'd expression (float vector × double literal plane).
+    */
   def signBucket(v: Column, planes: Int, dim: Int, seed: Long = 7L): Column = {
     val hp = hyperplanes(planes, dim, seed)
     (0 until planes).map { p =>
-      val plane = typedLit(hp(p).toSeq)
-      val d = aggregate(
-        zip_with(v, plane, (x, w) => x * w), lit(0.0d), (acc, x) => acc + x)
+      val d = vec_dot(v, typedLit(hp(p).toSeq))
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
   }

@@ -25,9 +25,38 @@ class VectorExprSpec extends SparkSpecBase {
       .filter(col("a.vec_id") < col("b.vec_id"))
     val worst = pairs.select(
       abs(VectorExpressions.vec_dot(col("a.embedding"), col("b.embedding")) -
-        Similarity.dot(col("a.embedding"), col("b.embedding"))).as("d"))
+        Similarity.dotHof(col("a.embedding"), col("b.embedding"))).as("d"))
       .agg(max(col("d"))).head().getDouble(0)
     assert(worst < 1e-4, s"max deviation $worst")
+  }
+
+  test("null ELEMENT propagates to null (containsNull arrays)") {
+    val df = Seq(
+      (1L, Seq[java.lang.Float](1f, 2f), Seq[java.lang.Float](3f, 4f)),
+      (2L, Seq[java.lang.Float](1f, null), Seq[java.lang.Float](3f, 4f))
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"), VectorExpressions.vec_dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(got(1L) == 11.0)
+    assert(got(2L) == null)
+  }
+
+  test("accepts array<double> on either side (hyperplane literals)") {
+    val df = Seq((1L, Array(1f, 2f))).toDF("id", "v")
+    val plane = typedLit(Seq(0.5d, 0.25d))
+    assert(df.select(VectorExpressions.vec_dot(col("v"), plane))
+      .head().getDouble(0) == 1.0)
+  }
+
+  test("q17-shaped plan: cosine top-k runs the native dot inside codegen") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 3), emb, k = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("zip_with") && !plan.contains("aggregate("),
+      s"interpreted HOF survives in q17 plan:\n$plan")
+    assert(plan.contains("vec_dot") || plan.contains("floatvecdot") ||
+      plan.contains("FloatVecDot"), s"native dot missing from plan:\n$plan")
+    assert(out.count() > 0)
   }
 
   test("null and length-mismatch handling") {
