@@ -33,10 +33,12 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     stages.Pipeline.run(spark, 50, seed = 7L).triples.count()
     spark.catalog.clearCache()
+    var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
+          failed ::= name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
@@ -44,8 +46,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failures are surfaced IN the one-line JSON (a broken query would
+    // otherwise record a near-zero time and make the run look healthy+fast)
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }
 
@@ -80,11 +86,14 @@ object Scaling {
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warmup at 1/10 scale so the first-measured leg isn't
     // penalized for compiling the whole-stage-codegen classes
-    stages.Pipeline.run(spark, math.max(20L, nConvs / 10), seed = 7L).triples.count()
+    stages.Pipeline.run(spark, math.max(20L, nConvs / 10), seed = 7L,
+      memoize = false).triples.count()
     val nTurns = synth.Transcripts.turns(spark, nConvs).count() // corpus size
     val best = (1 to repeats).map { i =>
       val t0 = System.nanoTime()
-      val r = stages.Pipeline.run(spark, nConvs)
+      // memoize=false: every rep must pay the full pipeline (incl. the CC
+      // loop) — sharing a memoized Result across reps would time a cache
+      val r = stages.Pipeline.run(spark, nConvs, memoize = false)
       val nTriples = r.triples.count()
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // drop this rep's persisted stages (incl. Link's internal cache)

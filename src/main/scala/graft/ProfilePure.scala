@@ -31,7 +31,7 @@ object ProfilePure {
     }
 
     // warmup
-    Pipeline.run(spark, nConvs / 10, seed = 7L).triples.count()
+    Pipeline.run(spark, nConvs / 10, seed = 7L, memoize = false).triples.count()
     spark.catalog.clearCache()
 
     val alias = Transcripts.aliasRows.toDF()

@@ -87,22 +87,34 @@ object Formats {
   }
 
   /** Embedding text source: header `count dim`, then `word v1..vd`;
-    * tolerant of over-length lines (`CC/loaders/utils/embedding.py:14-34`:
-    * takes the LAST dim values, so a word containing spaces still parses).
+    * tolerant of over-length lines (`CC/loaders/utils/embedding.py:29-31`:
+    * takes the LAST `dim` values as the vector and joins everything before
+    * them as the word — so a word containing spaces still parses).
+    * `dim` comes from the header; if the file has no header, it is inferred
+    * from the first data line. Rows whose vector is not exactly `dim` floats
+    * are dropped (corrupt/short lines).
     */
   def readEmbeddingTxt(spark: SparkSession, path: String,
                        maxScan: Int = -1): DataFrame = {
     val raw0 = spark.read.textFile(path)
     val raw = if (maxScan > 0) raw0.limit(maxScan + 1) else raw0
+    // header probe: tiny dimension input, one driver-side first() is fine
+    val first = raw.first().trim.split("\\s+")
+    val dim =
+      if (first.length == 2 && first.forall(_.matches("\\d+"))) first(1).toInt
+      else first.length - 1
     val noHeader = raw.filter(length(trim(col("value"))) > 0)
       .filter(!col("value").rlike("^\\s*\\d+\\s+\\d+\\s*$"))
     noHeader
       .withColumn("parts", split(trim(col("value")), "\\s+"))
-      .filter(size(col("parts")) >= 2)
-      .select(col("parts").getItem(0).as("word"),
-        expr("transform(slice(parts, 2, size(parts) - 1), x -> cast(x as float))")
+      .filter(size(col("parts")) >= dim + 1)
+      .select(
+        // word = all tokens before the trailing dim values, re-joined
+        concat_ws(" ", expr(s"slice(parts, 1, size(parts) - $dim)")).as("word"),
+        expr(s"transform(slice(parts, -$dim, $dim), x -> cast(x as float))")
           .as("embedding"))
-      .filter(!exists(col("embedding"), e => e.isNull))
+      .filter(!exists(col("embedding"), e => e.isNull) &&
+        size(col("embedding")) === dim)
   }
 
   /** Vocab source: first whitespace token per line, `limit(maxScan)` pushed

@@ -13,10 +13,25 @@ object Augment {
   /** label → length → surfaces index for same-label same-length replacement
     * sampling (`CC/loaders/utils/label_collections.py:63-95`): built as a
     * relational aggregate, collected + broadcast (dictionary-sized).
+    *
+    * @param maxPool cap on surfaces kept per (label, len) key — bounds BOTH
+    *        the aggregation buffer and the driver collect. Over a web-scale
+    *        mention table an uncapped `collect_set(surface)` is unbounded
+    *        (driver OOM). The cap is applied BEFORE any list materializes:
+    *        distinct → spill-able window rank → filter → collect_list over
+    *        ≤ maxPool rows per key. The lexicographically-first `maxPool`
+    *        surfaces are a deterministic sample.
     */
-  def labelCollection(mentions: DataFrame): DataFrame =
-    mentions.groupBy(col("label"), length(col("surface")).as("len"))
-      .agg(sort_array(collect_set(col("surface"))).as("surfaces"))
+  def labelCollection(mentions: DataFrame, maxPool: Int = 10000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"), col("len")).orderBy(col("surface"))
+    mentions.select(col("label"), length(col("surface")).as("len"), col("surface"))
+      .distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= maxPool)
+      .groupBy(col("label"), col("len"))
+      .agg(sort_array(collect_list(col("surface"))).as("surfaces"))
+  }
 
   /** Entity-replacement expansion (`tools/expand_data.py:56-111`): for each
     * turn with mentions, emit up to `rate` extra copies where every gold
@@ -28,12 +43,17 @@ object Augment {
     * replacement (origin surface + offsets), mirroring the reference's
     * `replace` records (expand_data.py:94-100).
     */
-  def expandByReplacement(turns: Dataset[Turn], mentions: DataFrame,
-                          copies: Int = 1): DataFrame = {
+  def expandByReplacement(turns: Dataset[Turn], mentions0: DataFrame,
+                          copies: Int = 1, maxPool: Int = 10000): DataFrame = {
     val spark = turns.sparkSession
     import spark.implicits._
 
-    val coll = labelCollection(mentions).collect()
+    // mentions feeds TWO actions (the pool collect below and the join that
+    // the caller eventually executes) — persist so an expensive upstream
+    // lineage (detect over the corpus) runs once, not twice
+    val mentions = mentions0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val coll = labelCollection(mentions, maxPool).collect()
       .map(r => (r.getString(0), r.getInt(1)) -> r.getSeq[String](2).toVector).toMap
     val collB = spark.sparkContext.broadcast(coll)
 

@@ -72,9 +72,16 @@ object Dedup {
         val distinctGrams = grams.distinct
         distinctGrams.iterator.map(g => (id, distinctGrams.length, g))
       }.toDF("doc_id", "n_sh", "shingle")
-    val posting = sh.groupBy(col("shingle"))
+    // df-prefilter BEFORE any posting list materializes: a stopword shingle
+    // at web scale would otherwise build its full (huge) collect_list buffer
+    // only to be discarded by the cap. Two-pass on the same shuffle key —
+    // the count agg and the semi join hash-partition on `shingle`, so the
+    // exchange is reused and the final groupBy needs no extra shuffle.
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxShingleDf))
+    val posting = sh.join(rare.select(col("shingle")), Seq("shingle"), "left_semi")
+      .groupBy(col("shingle"))
       .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("docs"))
-      .filter(size(col("docs")).between(2, maxShingleDf))
     posting.select(col("docs")).flatMap { row =>
       val ds = row.getSeq[org.apache.spark.sql.Row](0)
         .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)

@@ -83,8 +83,6 @@ object Multimodal {
     * of the fake modality; real systems put CLIP/VGGish here.
     */
   def byteHistogram(meta: Dataset[MediaMeta], media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    media.select(col("media_id"), col("payload")).createOrReplaceTempView("_media_tmp")
     media.select(col("media_id"),
       transform(sequence(lit(0), lit(15)), b =>
         size(filter(col("payload").cast("array<byte>"),

@@ -78,6 +78,13 @@ object Canon {
       edges = next
       it += 1
     }
+    if (!converged)
+      // surfaced, not silent: canonical ids may be wrong if the star loop
+      // ran out of rounds (log n rounds suffice in theory; maxIter=20 covers
+      // graphs far beyond any realistic same-as evidence set)
+      System.err.println(
+        s"[canon] WARNING: connectedComponents exhausted maxIter=$maxIter without " +
+          "checksum convergence — canonical ids may be incomplete")
 
     // after convergence every edge points (child, root); root's own row:
     val asChild = edges.select(col("dst").as("id"), col("src").as("canonical_id"))
@@ -96,12 +103,17 @@ object Canon {
 
   /** Resolve linked mentions to canonical ids. Vertices absent from the
     * same-as graph canonicalize to themselves; NIL mentions stay null.
+    *
+    * No broadcast hint on the component map: at 10^12-turn scale the
+    * same-as vertex set is not dictionary-sized, and a forced
+    * `broadcast(comp)` would be a driver-OOM scale-killer. AQE picks
+    * broadcast at runtime whenever the map actually is small.
     */
   def run(linked: Dataset[LinkedMention], sameAs: DataFrame): Dataset[CanonMention] = {
     val spark = linked.sparkSession
     import spark.implicits._
     val comp = connectedComponents(sameAs)
-    linked.join(broadcast(comp), linked("entity_id") === comp("id"), "left")
+    linked.join(comp, linked("entity_id") === comp("id"), "left")
       .select(linked("conv_id"), linked("turn_idx"), linked("start"),
         linked("end"), linked("label"), linked("surface"), linked("entity_id"),
         coalesce(col("canonical_id"), linked("entity_id")).as("canonical_id"))

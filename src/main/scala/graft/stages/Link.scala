@@ -30,21 +30,30 @@ object Link {
     if (s.length < n) Seq(s) else s.sliding(n).toSeq
   }
 
-  /** @param enableFuzzy when false, skip the LSH pass entirely: mentions that
-    *        miss the dictionary stay NIL. The production flow at 10^12
-    *        turns runs exact-only in the main pass and fuzzy-links the NIL
-    *        partition as a separate job (runWithSnapshots does exactly
-    *        this shape) — keeping the hot path a single action with no
-    *        mid-plan probe and no cache materialization.
+  /** @param enableFuzzy when false (the default), skip the LSH pass
+    *        entirely: mentions that miss the dictionary stay NIL. The
+    *        production flow at 10^12 turns runs exact-only in the main pass
+    *        and fuzzy-links the NIL partition as a separate job
+    *        (runWithSnapshots does exactly this shape) — keeping the hot
+    *        path a single action with no mid-plan probe and no cache
+    *        materialization. The fuzzy pass costs a persist + a driver
+    *        probe + several LSH jobs, so it must be opted into.
     */
   def run(mentions: Dataset[Mention], alias: DataFrame,
-          fuzzyMaxJaccardDist: Double = 0.5, enableFuzzy: Boolean = true): Dataset[LinkedMention] = {
+          fuzzyMaxJaccardDist: Double = 0.5, enableFuzzy: Boolean = false): Dataset[LinkedMention] = {
     val spark = mentions.sparkSession
     import spark.implicits._
 
+    // Deterministic per-(surface,label) winner: if the dictionary carries
+    // two entity_ids for the same normalized alias, a plain join would emit
+    // one LinkedMention PER candidate — silently duplicating mentions into
+    // canon/triples/metrics. Elect min(entity_id) before the broadcast join
+    // (the fuzzy path has the same rule via its row_number rerank).
     val aliasNorm = alias.select(
-      lower(col("surface")).as("alias_surface"),
-      col("entity_id"), col("label").as("alias_label"))
+        lower(col("surface")).as("alias_surface"),
+        col("entity_id"), col("label").as("alias_label"))
+      .groupBy(col("alias_surface"), col("alias_label"))
+      .agg(min(col("entity_id")).as("entity_id"))
 
     // exact candidate generation: broadcast dictionary join
     val exactJoined = mentions

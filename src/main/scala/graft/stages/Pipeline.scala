@@ -13,26 +13,60 @@ import graft.synth.Transcripts
   */
 object Pipeline {
 
-  final case class Result(turns: Dataset[Turn], mentions: DataFrame,
-                          linked: DataFrame, canon: DataFrame,
-                          triples: DataFrame, metrics: Seq[StageMetric])
-
-  /** Pure in-memory run (no snapshot layer) — used by queries and bench. */
-  def run(spark: SparkSession, nConvs: Long, seed: Long = 42L): Result = {
+  /** Lazily-built pipeline stages. Nothing runs at construction time: the
+    * connected-components loop (which needs Spark actions of its own) only
+    * executes when `canon`/`triples` is first touched, so a consumer of
+    * `mentions` alone (e.g. a per-type eval report) never pays for CC.
+    * `triples` self-persists on first access because it is the typical
+    * fan-in point consumed by several downstream aggregations.
+    */
+  final class Result(spark: SparkSession, nConvs: Long, seed: Long,
+                     persistTriples: Boolean = true) {
     import spark.implicits._
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val turns = Transcripts.turns(spark, nConvs, seed)
-    val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
-    val mentions = Detect.run(turns, tagger)
-    val alias = Transcripts.aliasRows.toDF()
+    lazy val turns: Dataset[Turn] = Transcripts.turns(spark, nConvs, seed)
+    lazy val mentions: DataFrame = {
+      val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
+      Detect.run(turns, tagger).toDF()
+    }
     // exact-only linking in the hot path: the whole pipeline stays ONE
     // Spark action (no mid-plan probe, no cache materialization); fuzzy
     // NIL-recovery is a separate stage (see runWithSnapshots / Link.run)
-    val linked = Link.run(mentions, alias, enableFuzzy = false)
-    val sameAs = Transcripts.sameAs.toDF("src", "dst")
-    val canon = Canon.run(linked, sameAs)
-    val triples = Triples.run(canon)
-    Result(turns, mentions.toDF(), linked.toDF(), canon.toDF(), triples.toDF(), Nil)
+    lazy val linked: DataFrame =
+      Link.run(mentions.as[Mention], Transcripts.aliasRows.toDF(),
+        enableFuzzy = false).toDF()
+    lazy val canon: DataFrame =
+      Canon.run(linked.as[LinkedMention], Transcripts.sameAs.toDF("src", "dst")).toDF()
+    lazy val triples: DataFrame = {
+      val t = Triples.run(canon.as[CanonMention]).toDF()
+      if (persistTriples) t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else t
+    }
+    val metrics: Seq[StageMetric] = Nil
+  }
+
+  // Memoized per (session, nConvs, seed): the synthesized corpus is
+  // deterministic, so repeated `run` calls (several bench/verify queries
+  // consume different stages of the same pipeline) share one Result — the
+  // CC loop and the triples persist happen once per session, not per query.
+  // WeakHashMap: a stopped session's entries become collectable.
+  private val memo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[(Long, Long), Result]]()
+
+  /** Pure in-memory run (no snapshot layer) — used by queries and bench.
+    * @param memoize pass false for timing runs that must not share plan/cache
+    *                state with earlier invocations (graft.Scaling does).
+    */
+  def run(spark: SparkSession, nConvs: Long, seed: Long = 42L,
+          memoize: Boolean = true): Result = {
+    // un-memoized runs are timing runs: no self-persist either, so the
+    // measured action pays exactly the raw pipeline
+    if (!memoize) return new Result(spark, nConvs, seed, persistTriples = false)
+    val perSession = memo.synchronized {
+      var m = memo.get(spark)
+      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; memo.put(spark, m) }
+      m
+    }
+    perSession.getOrElseUpdate((nConvs, seed), new Result(spark, nConvs, seed))
   }
 
   /** Snapshot-committed run rooted at `workDir`; a rerun after a crash (or a
@@ -56,7 +90,10 @@ object Pipeline {
     }
 
     val linked = SnapshotIO.resumeOrCompute(spark, workDir, "linked", inputKey) {
-      Link.run(mentions.as[Mention], Transcripts.aliasRows.toDF()).toDF()
+      // the snapshot flow is the place for fuzzy NIL-recovery: it runs as
+      // its own committed stage, so the LSH jobs + persist don't sit inside
+      // a hot single-action chain
+      Link.run(mentions.as[Mention], Transcripts.aliasRows.toDF(), enableFuzzy = true).toDF()
     }
 
     val canon = SnapshotIO.resumeOrCompute(spark, workDir, "canon", inputKey) {

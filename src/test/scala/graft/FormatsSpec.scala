@@ -63,6 +63,16 @@ class FormatsSpec extends SparkSpecBase {
     assert(foo == Seq(0.1f, 0.2f, 0.3f, 0.4f))
   }
 
+  test("embedding source: multi-token words survive; wrong-dim lines dropped (embedding.py:29-31)") {
+    val path = tmpFile("e2.txt",
+      "4 3\nNew York 1 2 3\nshort 1 2\nok 4 5 6\nlong word here 7 8 9\n")
+    val got = Formats.readEmbeddingTxt(spark, path).collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(got.keySet == Set("New York", "ok", "long word here"))
+    assert(got("New York") == Seq(1f, 2f, 3f))
+    assert(got("long word here") == Seq(7f, 8f, 9f))
+  }
+
   test("vocab source takes first token per line, maxScan caps (vocab.py:36-63)") {
     val path = tmpFile("v.txt", "alpha 1 2\nbeta\ngamma x\ndelta\n")
     assert(Formats.readVocabTxt(spark, path).collect().map(_.getString(0)).toSeq

@@ -34,6 +34,22 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.toSet == Set((0L, 2L)))
   }
 
+  test("hot shingle above the df cap creates no pairs and no posting list") {
+    // 6 docs all sharing one mega-frequent shingle ("common words here"),
+    // plus a genuine near-dup pair; with maxShingleDf = 4 the hot shingle
+    // must be df-prefiltered BEFORE collect_list, so it contributes nothing
+    import spark.implicits._
+    val hot = (0L to 5L).map(i => (i, s"common words here unique$i tail$i end$i"))
+    val hotDocs = hot.toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(hotDocs, k = 3, threshold = 0.3,
+      maxShingleDf = 4)
+    assert(pairs.count() == 0)
+    // and the pre-filter is in the plan: the aggregation that builds the
+    // posting list sits above a left-semi join on the shingle key
+    val p = pairs.queryExecution.optimizedPlan.toString
+    assert(p.contains("LeftSemi"), s"expected df-prefilter semi join:\n$p")
+  }
+
   test("minhash LSH candidates include the near-dup pair") {
     val pairs = Dedup.minhashLshPairs(docs.filter(col("doc_id").isin(0, 2, 3)),
         k = 3, maxDist = 0.6)

@@ -154,10 +154,29 @@ class LinkSpec extends SparkSpecBase {
       Mention("c1", 2, 0, 7, "ORG", "Zzzzzzz")        // NIL
     ).toDS()
     val alias = Transcripts.aliasRows.toDF()
-    val linked = Link.run(mentions, alias).collect()
+    val linked = Link.run(mentions, alias, enableFuzzy = true).collect()
     val byTurn = linked.map(l => l.turn_idx -> l).toMap
     assert(byTurn(0).method == "exact" && byTurn(0).entity_id == "ORG00a")
     assert(byTurn(1).method == "fuzzy" && byTurn(1).entity_id == "ORG00a")
     assert(byTurn(2).entity_id == null)
+  }
+
+  test("ambiguous dictionary: exact path emits ONE row per mention, min(entity_id) wins") {
+    import spark.implicits._
+    val mentions = Seq(Mention("c1", 0, 0, 6, "ORG", "Globex")).toDS()
+    // two candidate ids for the same (surface, label) — the sibling-id shape
+    val alias = Seq(
+      AliasRow("Globex", "ORG01b", "ORG"),
+      AliasRow("Globex", "ORG01a", "ORG")).toDF()
+    val linked = Link.run(mentions, alias).collect()
+    assert(linked.length == 1, s"duplicated mention rows: ${linked.toSeq}")
+    assert(linked.head.entity_id == "ORG01a" && linked.head.method == "exact")
+  }
+
+  test("default Link.run is exact-only (no fuzzy jobs on the hot path)") {
+    import spark.implicits._
+    val mentions = Seq(Mention("c1", 0, 0, 7, "ORG", "Zzzzzzz")).toDS()
+    val linked = Link.run(mentions, Transcripts.aliasRows.toDF()).collect()
+    assert(linked.length == 1 && linked.head.entity_id == null && linked.head.method == null)
   }
 }

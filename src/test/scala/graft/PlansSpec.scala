@@ -70,6 +70,30 @@ class PlansSpec extends SparkSpecBase {
       s"scalar path must stay codegen'd:\n$p")
   }
 
+  test("canon join carries NO forced broadcast hint (comp map is not dictionary-sized at scale)") {
+    val linked = Seq(LinkedMention("c", 0, 0, 5, "ORG", "Acme", "ORG00a", "exact")).toDS()
+    val canon = Canon.run(linked, Transcripts.sameAs.toDF("src", "dst"))
+    val p = canon.toDF().queryExecution.optimizedPlan.toString
+    assert(!p.contains("strategy=broadcast"), s"forced broadcast hint on canon join:\n$p")
+  }
+
+  test("Pipeline.run is lazy (zero jobs at construction) and memoized per (session, n, seed)") {
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r1 = Pipeline.run(spark, 3123L) // fresh key: nothing may execute yet
+      Thread.sleep(500) // listener events post asynchronously
+      assert(jobs == 0, s"Pipeline.run construction ran $jobs Spark jobs")
+      val r2 = Pipeline.run(spark, 3123L)
+      assert(r1 eq r2, "same (session, n, seed) must return the memoized Result")
+      assert(Pipeline.run(spark, 3123L, memoize = false) ne r1)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("salted per-conversation aggregation is two-phase") {
     val t = Seq(Triple("a", "p", "b", "c1", 0)).toDS()
     val p = plan(Triples.triplesPerConversation(t))
