@@ -345,12 +345,77 @@ object SparkEntry {
           s.createDataFrame(Seq.empty[(String, String)]).toDF("src", "dst"))(
           (df, e) => df.union(s.createDataFrame(Seq(e)).toDF("src", "dst"))))
         .orderBy(col("id"))
+    }),
+    "q38_multilabel_join" -> ((s, dir) => {
+      // word→multi-label join (mlabel_le_loader.py:199-213): gazetteer words
+      // × a multi-label dictionary, up to K=2 labels per word; CSV-encoded
+      // labels keep the output hashable across engines
+      val words = tbl(s, dir, "documents")
+        .select(explode(expr(
+          "regexp_extract_all(text, '\\\\b(spark|customer|vector|window|table|stream|batch)\\\\b', 0)"))
+          .as("word"))
+        .distinct()
+      val dict = s.createDataFrame(multiLabelDict).toDF("word", "label")
+      graft.stages.Link.multiLabelJoin(words, dict, k = 2)
+        .select(col("word"), concat_ws(",", col("labels")).as("labels_csv"))
+        .orderBy(col("word"))
+    }),
+    "q39_rolling_fingerprint" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.rollingMinHash(col("text")).as("rfp"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Static multi-label dictionary for q38 (shared with its oracle). */
+  val multiLabelDict: Seq[(String, String)] = Seq(
+    "spark" -> "TECH", "spark" -> "ENGINE", "customer" -> "ROLE",
+    "vector" -> "MATH", "vector" -> "TECH", "window" -> "UI",
+    "window" -> "SQL", "window" -> "TIME", "table" -> "SQL",
+    "stream" -> "TECH")
 
   // ---------------------------------------------------------------------
   private val discPrice =
     "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,6))"
+
+  /** Oracles marked `{AUX}` read the gold side-tables `graft.Verify` dumps
+    * next to the query outputs (synthesized transcripts / gold mentions /
+    * gold triples); Verify substitutes the placeholder with the absolute
+    * aux path at dump time. These oracles are genuine cross-checks: the
+    * gold tables come from the independent generator
+    * (synth/Transcripts.scala), not from the pipeline under test.
+    */
+  val AuxToken = "{AUX}"
+
+  /** DuckDB rendering of `TextAnalysis.hash60` (first 15 hex chars of md5
+    * parsed as a 60-bit integer): md5 agrees across engines, so sketches
+    * built on it hash-compare exactly. power(16, k) is a power of two —
+    * exact in double — so the CAST chain is lossless.
+    */
+  private def duckHash60(x: String): String =
+    "CAST(list_sum(list_transform(range(1,16), j -> " +
+      s"CAST(strpos('0123456789abcdef', substring(md5($x), j, 1)) - 1 AS BIGINT) * " +
+      "CAST(power(16, 15-j) AS BIGINT))) AS BIGINT)"
+
+  /** DuckDB token list matching TextAnalysis.tokens(lower(text)). */
+  private val duckToks =
+    """list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> len(t) > 0)"""
+
+  /** 60 per-bit sign terms of the SimHash sketch over a token-hash list
+    * column `hs` (matches ops/Dedup.simhash bit for bit).
+    */
+  private val duckSimhashTerms: String = (0 until graft.ops.Dedup.SimhashBits).map { i =>
+    s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+  }.mkString(" + ")
+
+  private val duckSimhashCtes =
+    s"""WITH toksrc AS (SELECT doc_id, list_distinct($duckToks) AS ts FROM documents),
+       hsv AS (SELECT doc_id, list_transform(ts, t -> ${duckHash60("t")}) AS hs FROM toksrc),
+       sig AS (SELECT doc_id, CAST($duckSimhashTerms AS BIGINT) AS simhash FROM hsv)"""
+
+  private val duckSameAsValues: String =
+    graft.synth.Transcripts.sameAs
+      .map { case (a, b) => s"('$a','$b')" }.mkString(", ")
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -524,6 +589,74 @@ object SparkEntry {
                         c.vec_id ASC) AS rank
            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
            WHERE q.vec_id < 5)
-         WHERE rank <= 3 ORDER BY query_id, rank"""
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+
+    // --- md5-based sketches (cross-engine since hash60 is md5-derived) ---
+    "q16_simhash_sketch" ->
+      s"""$duckSimhashCtes
+         SELECT doc_id, simhash FROM sig ORDER BY doc_id""",
+    "q16b_simhash_pairs" ->
+      s"""$duckSimhashCtes,
+         banded AS (SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS key
+           FROM sig CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS b) bands),
+         pairs AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb,
+             x.simhash AS sa, y.simhash AS sb
+           FROM banded x JOIN banded y
+             ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id)
+         SELECT pa AS a, pb AS b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+         FROM pairs WHERE bit_count(xor(sa, sb)) <= 16 ORDER BY a, b""",
+    "q39_rolling_fingerprint" ->
+      s"""SELECT doc_id, CAST(list_min(list_transform(grams, g -> ${duckHash60("g")})) AS BIGINT) AS rfp
+         FROM (SELECT doc_id, list_transform(range(0, greatest(len(ts) - 4, 0) + 1),
+             i -> array_to_string(list_slice(ts, i + 1, i + 4), ' ')) AS grams
+           FROM (SELECT doc_id, $duckToks AS ts FROM documents))
+         ORDER BY doc_id""",
+
+    // --- gold-table cross-checks (aux tables dumped by graft.Verify from
+    //     the independent generator; pipeline output must equal gold) ------
+    "q21_pipeline_mentions" ->
+      s"""SELECT label, COUNT(*) AS n_mentions, COUNT(DISTINCT surface) AS n_surfaces
+         FROM read_parquet('{AUX}/gold_mentions/*.parquet')
+         GROUP BY label ORDER BY label""",
+    "q22_pipeline_linked" ->
+      s"""SELECT 'exact' AS method, label, COUNT(*) AS n
+         FROM read_parquet('{AUX}/gold_mentions/*.parquet')
+         GROUP BY label ORDER BY 1, 2""",
+    "q23_pipeline_triples" ->
+      s"""SELECT pred, COUNT(*) AS n_triples
+         FROM read_parquet('{AUX}/gold_triples/*.parquet')
+         GROUP BY pred ORDER BY pred""",
+    "q24_pipeline_conv_stats" ->
+      s"""SELECT COUNT(*) AS n_convs, CAST(SUM(n) AS BIGINT) AS n_triples,
+           CAST(MAX(n) AS BIGINT) AS max_per_conv
+         FROM (SELECT conv_id, COUNT(*) AS n
+           FROM read_parquet('{AUX}/gold_triples/*.parquet') GROUP BY conv_id)""",
+    "q36_per_type_report" ->
+      s"""SELECT label, n AS n_match, n AS n_pred, n AS n_gold,
+           CAST(1.0 AS DOUBLE) AS "precision", CAST(1.0 AS DOUBLE) AS recall,
+           CAST(1.0 AS DOUBLE) AS f1
+         FROM (SELECT label, COUNT(*) AS n FROM (
+             SELECT DISTINCT conv_id, turn_idx, start, "end", label
+             FROM read_parquet('{AUX}/gold_mentions_small/*.parquet'))
+           GROUP BY ROLLUP(label))
+         ORDER BY label NULLS FIRST""",
+    "q26_canon_components" ->
+      s"""WITH RECURSIVE edges AS (SELECT * FROM (VALUES $duckSameAsValues) e(src, dst)),
+         sym AS (SELECT src AS u, dst AS v FROM edges UNION SELECT dst, src FROM edges),
+         reach(u, v) AS (
+           SELECT u, v FROM sym
+           UNION
+           SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u)
+         SELECT u AS id, LEAST(u, MIN(v)) AS canonical_id
+         FROM reach GROUP BY u ORDER BY id""",
+    "q38_multilabel_join" ->
+      s"""WITH words AS (SELECT DISTINCT UNNEST(regexp_extract_all(text,
+             '\\b(spark|customer|vector|window|table|stream|batch)\\b')) AS word
+           FROM documents),
+         dict AS (SELECT * FROM (VALUES ${multiLabelDict.map { case (w, l) => s"('$w','$l')" }.mkString(", ")}) d(word, label))
+         SELECT w.word, COALESCE(array_to_string(list_slice(
+             list_sort(list(d.label) FILTER (WHERE d.label IS NOT NULL)), 1, 2), ','), '') AS labels_csv
+         FROM words w LEFT JOIN dict d ON w.word = d.word
+         GROUP BY w.word ORDER BY w.word"""
   )
 }

@@ -2,7 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Also dumps the generator's gold side-tables (synthesized transcripts,
+  * gold mentions at both pipeline sizes, gold triples) under `outDir/_aux`
+  * and substitutes that absolute path for the `{AUX}` token in the oracle
+  * SQL — so DuckDB can cross-check the KG pipeline queries against the
+  * INDEPENDENT generator output (not against the pipeline itself).
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -15,6 +22,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+
+    // gold aux tables, sized exactly like the queries' synthesized inputs
+    val auxDir = new java.io.File(s"$outDir/_aux").getAbsolutePath
+    val n = SparkEntry.convsFor(sfDir)
+    val nSmall = math.max(20L, n / 10) // q34/q36 pipeline size
+    import graft.synth.Transcripts
+    try {
+      Transcripts.turns(spark, n).toDF()
+        .coalesce(4).write.mode("overwrite").parquet(s"$auxDir/turns")
+      Transcripts.goldMentions(spark, n).toDF()
+        .coalesce(4).write.mode("overwrite").parquet(s"$auxDir/gold_mentions")
+      Transcripts.goldMentions(spark, nSmall).toDF()
+        .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/gold_mentions_small")
+      Transcripts.goldTriples(spark, n).toDF()
+        .coalesce(4).write.mode("overwrite").parquet(s"$auxDir/gold_triples")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] aux dump failed: ${e.getMessage}")
+    }
+
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -35,7 +61,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace(SparkEntry.AuxToken, auxDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -116,18 +116,24 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash over token hashes: bit i of the sketch = sign of
-    * Σ_tokens (bit i of xxhash64(token) ? +1 : −1). Pure column expressions
-    * (sequence/transform/aggregate) — stays in codegen, no UDF.
+  /** SimHash bit width: 60 (the md5-derived `TextAnalysis.hash60` token
+    * hash) — cross-engine checkable, unlike the xxhash64-based 64-bit
+    * variant this replaces.
+    */
+  val SimhashBits = 60
+
+  /** 60-bit SimHash over md5-derived token hashes: bit i of the sketch =
+    * sign of Σ_tokens (bit i of hash60(token) ? +1 : −1). Pure column
+    * expressions (transform/aggregate over one materialized hash array).
     */
   def simhash(docs: DataFrame): DataFrame = {
     val toks = array_distinct(TextAnalysis.tokens(lower(col("text"))))
-    // materialize token hashes once, then 64 per-bit aggregates over the
+    // materialize token hashes once, then per-bit aggregates over the
     // materialized array (bit index is a compile-time Int, so shiftright's
-    // literal-numBits overload applies and everything stays codegen'd)
+    // literal-numBits overload applies)
     val withHashes = docs.select(col("doc_id"),
-      transform(toks, t => xxhash64(t)).as("hs"))
-    val sig = (0 until 64).map { i =>
+      transform(toks, t => TextAnalysis.hash60(t)).as("hs"))
+    val sig = (0 until SimhashBits).map { i =>
       when(aggregate(col("hs"), lit(0L),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)
       ) > 0, lit(1L << i)).otherwise(lit(0L))
@@ -135,13 +141,13 @@ object Dedup {
     withHashes.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block on 4 bands of 16 bits, verify Hamming
+  /** SimHash near-dup pairs: block on 4 bands of 15 bits, verify Hamming
     * distance ≤ maxHamming via bit_count(xor).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sig = simhash(docs).cache()
     val bands = (0 until 4).map(bI => struct(lit(bI).as("band"),
-      shiftright(col("simhash"), bI * 16).bitwiseAND(0xffffL).as("key")))
+      shiftright(col("simhash"), bI * 15).bitwiseAND(0x7fffL).as("key")))
     val banded = sig.select(col("doc_id"), col("simhash"),
         explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
@@ -152,7 +158,7 @@ object Dedup {
       col("simhash").as("sb"))
     a.join(b, Seq("band", "key")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

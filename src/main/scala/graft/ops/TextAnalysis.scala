@@ -90,16 +90,26 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Engine-portable 60-bit hash: the first 15 hex chars of md5, parsed as
+    * an integer. md5 is identical across Spark and DuckDB (unlike xxhash64,
+    * which is Spark-only), so every sketch built on this hash is
+    * cross-engine oracle-checkable. 15 hex digits = 60 bits, which fits a
+    * signed 64-bit long with room to spare (no unsigned-overflow parsing
+    * hazards in either engine).
+    */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
   /** Rolling (Karp–Rabin-style) document fingerprint over token 4-grams:
-    * per-window hash = xxhash64(concat of 4 consecutive tokens); document
-    * fingerprint = min over windows (a 1-perm winnowing sketch). Spark-only
-    * (xxhash64 has no cross-engine oracle).
+    * per-window hash = hash60(concat of 4 consecutive tokens); document
+    * fingerprint = min over windows (a 1-perm winnowing sketch).
+    * Cross-engine checkable via the md5-derived hash.
     */
   def rollingMinHash(text: Column, k: Int = 4): Column = {
     val toks = tokens(lower(text))
     val idx = sequence(lit(0), greatest(size(toks) - k, lit(0)))
     array_min(transform(idx, i =>
-      xxhash64(concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      hash60(concat_ws(" ", slice(toks, i + 1, lit(k))))))
   }
 
   /** Full per-document profile. */

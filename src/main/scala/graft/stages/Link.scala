@@ -30,6 +30,23 @@ object Link {
     if (s.length < n) Seq(s) else s.sliding(n).toSeq
   }
 
+  /** Word→multi-label join (`CC/loaders/mlabel_le_loader.py:199-213`): each
+    * word joins the tagged dictionary and carries up to `k` labels — the
+    * relational half of the reference's `[L, W, K]` label scatter (`:191`;
+    * the tensor half is `Encode.convert`'s layout). Broadcast join on the
+    * dictionary (small side); labels are sorted for determinism and sliced
+    * to `k`, matching the reference's fixed label-slot budget. Words with no
+    * dictionary entry keep an empty label array (the reference pads with
+    * the null label at scatter time).
+    *
+    * @param dict DataFrame(word, label) — one row per (word, label) pair.
+    */
+  def multiLabelJoin(words: DataFrame, dict: DataFrame, k: Int): DataFrame =
+    words.select(col("word"))
+      .join(broadcast(dict.select(col("word"), col("label"))), Seq("word"), "left")
+      .groupBy(col("word"))
+      .agg(slice(sort_array(collect_set(col("label"))), 1, k).as("labels"))
+
   /** @param enableFuzzy when false (the default), skip the LSH pass
     *        entirely: mentions that miss the dictionary stay NIL. The
     *        production flow at 10^12 turns runs exact-only in the main pass

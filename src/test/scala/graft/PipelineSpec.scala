@@ -173,6 +173,17 @@ class LinkSpec extends SparkSpecBase {
     assert(linked.head.entity_id == "ORG01a" && linked.head.method == "exact")
   }
 
+  test("word→multi-label join carries up to K sorted labels (mlabel_le_loader.py:199-213)") {
+    import spark.implicits._
+    val words = Seq("spark", "window", "batch").toDF("word")
+    val dict = SparkEntry.multiLabelDict.toDF("word", "label")
+    val got = Link.multiLabelJoin(words, dict, k = 2).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got("spark") == Seq("ENGINE", "TECH"))
+    assert(got("window") == Seq("SQL", "TIME")) // 3 labels sliced to K=2
+    assert(got("batch") == Seq())               // dictionary miss → empty array
+  }
+
   test("default Link.run is exact-only (no fuzzy jobs on the hot path)") {
     import spark.implicits._
     val mentions = Seq(Mention("c1", 0, 0, 7, "ORG", "Zzzzzzz")).toDS()
