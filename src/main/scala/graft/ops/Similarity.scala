@@ -60,13 +60,19 @@ object Similarity {
     * The query side is expected to be small (it is broadcast); the corpus
     * side streams. Output: (query_id, neighbor_id, rank) — ids only, so the
     * result is FP-robust for cross-engine checks.
+    *
+    * @param minScore reference threshold-p semantics
+    *        (`label_counter.py:56-68`): only neighbors with cosine ≥ p are
+    *        ranked at all; ranks stay dense among survivors. Negative = off.
     */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     minScore: Double = -1.0): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
+      .filter(col("cos") >= minScore)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -74,39 +80,77 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** IVF-style ANN top-k: a deterministic coarse quantizer (the `nlist`
-    * lowest-vec_id corpus vectors act as centroids — at production scale
-    * you'd k-means them; determinism matters more here), every corpus
-    * vector is assigned to its nearest centroid (cell), and each query
-    * probes its `nprobe` nearest cells only. Exact cosine reranks inside
-    * the probed cells. Cost scales with corpus/nlist × nprobe instead of
-    * corpus².
+  /** Seeded Lloyd's k-means coarse quantizer, DataFrame-native: the corpus
+    * never leaves the cluster — each iteration is ONE distributed job
+    * (assign cells via `nlist` codegen'd dots, then 64 per-dimension sums),
+    * and only the `nlist × dim` centroid matrix is collected per iteration.
+    *
+    * Determinism: init picks the `nlist` vectors with the smallest
+    * `xxhash64(vec_id, seed)` (reproducible on any partitioning); iteration
+    * count is fixed (no convergence probe). Centroid means are distributed
+    * FP sums, associativity-dependent at the ~1e-13 level — immaterial for
+    * cell assignment, documented rather than hidden.
+    */
+  def kmeansCentroids(corpus: DataFrame, nlist: Int, dim: Int = 64,
+                      iters: Int = 3, seed: Long = 7L): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("_h", pmod(xxhash64(col("vec_id"), lit(seed)), lit(1000000007L)))
+      .orderBy(col("_h"), col("vec_id")).limit(nlist)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+
+    for (_ <- 1 to iters) {
+      val cell = cellArgmax(col("embedding"), cents)
+      val aggs = count(lit(1)).as("n") +:
+        (0 until dim).map(d => sum(col("embedding").getItem(d).cast("double")).as(s"s$d"))
+      val stats = corpus.select(col("embedding"), cell.as("cell"))
+        .groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val next = cents.map(_.clone()) // empty cells keep their old centroid
+      stats.foreach { r =>
+        val c = r.getInt(0); val n = r.getLong(1).toDouble
+        next(c) = Array.tabulate(dim)(d => r.getDouble(2 + d) / n)
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** argmax over centroid dots (native codegen'd float×double dot),
+    * deterministic tie-break on the lower cell index.
+    */
+  private def cellArgmax(v: Column, cents: Array[Array[Double]]): Column =
+    greatest(cents.zipWithIndex.map { case (cv, i) =>
+      // negate the index inside the struct comparison so equal scores pick
+      // the SMALLEST index (struct greatest compares fields left-to-right)
+      struct(vec_dot(v, typedLit(cv.toSeq)).as("s"), lit(-i).as("negi"))
+    }: _*).getField("negi") * lit(-1)
+
+  /** IVF ANN top-k with a trained (seeded, fixed-iteration Lloyd) coarse
+    * quantizer: every corpus vector is assigned to its nearest centroid
+    * (cell), each query probes its `nprobe` nearest cells only, exact
+    * cosine reranks inside the probed cells. Cost scales with
+    * corpus/nlist × nprobe instead of corpus².
+    *
+    * @param minScore reference threshold-p (`label_counter.py:56-68`);
+    *        negative = off.
+    * @param kmeansIters 0 falls back to raw seeded-init centroids (no
+    *        training jobs) — useful for plan tests.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    // centroids: small, collected once, broadcast as literal columns
-    val cents = corpus.orderBy(col("vec_id")).limit(nlist)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val centLit = cents.map { case (cid, v) => (cid, typedLit(v.toSeq)) }
-
-    def cellOf(v: Column, n: Int): Column = {
-      // argmax over centroid dot products, deterministic tie-break on id
-      val scored = centLit.take(n).map { case (cid, cv) =>
-        struct(dot(v, cv).as("s"), lit(cid).as("cid"))
-      }
-      greatest(scored: _*).getField("cid")
-    }
+              nlist: Int = 16, nprobe: Int = 2, dim: Int = 64,
+              kmeansIters: Int = 2, minScore: Double = -1.0): DataFrame = {
+    val cents = kmeansCentroids(corpus, nlist, dim, kmeansIters)
+    val centLit = cents.zipWithIndex.map { case (v, i) => (i, typedLit(v.toSeq)) }
 
     val cellCorpus = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("cv"), cellOf(col("embedding"), nlist).as("cell"))
+      col("embedding").as("cv"), cellArgmax(col("embedding"), cents).as("cell"))
 
     // query → nprobe nearest cells: explode the per-query top-nprobe cells
     val qScored = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("qv"),
       sort_array(array(centLit.map { case (cid, cv) =>
-        struct(dot(col("embedding"), cv).as("s"), lit(cid).as("cid"))
+        struct(vec_dot(col("embedding"), cv).as("s"), lit(cid).as("cid"))
       }: _*), asc = false).as("cells"))
     val qProbes = qScored.select(col("query_id"), col("qv"),
       explode(slice(col("cells"), 1, nprobe)).as("probe"))
@@ -115,6 +159,7 @@ object Similarity {
     val scored = cellCorpus.join(broadcast(qProbes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
+      .filter(col("cos") >= minScore)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

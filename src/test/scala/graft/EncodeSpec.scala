@@ -48,3 +48,101 @@ class EncodeSpec extends AnyFunSuite {
     assert(row.matchedWordIds(1)(0) == wordVocab.id("ab"))
   }
 }
+
+/** ONNX-seam end-to-end: a stub TENSOR scorer stands where the ONNX session
+  * would sit. It consumes ONLY the assembled D8 micro-batch tensors
+  * (input_ids/attention_mask/token_type_ids [N,L], matched_word_ids/mask
+  * [N,L,W] — `CC/loaders/le_loader.py:183-193`), asserts their shapes, and
+  * reconstructs tags purely from the tensor content. Driving `Detect.run`
+  * with it proves the swap-in-ONNX claim: the Spark seam delivers exactly
+  * the reference's batch contract, and mentions decoded from those tensors
+  * round-trip through the distributed stage.
+  */
+/** Top-level (NOT a suite inner class): it is broadcast to executors and
+  * must not capture the test suite in its closure.
+  */
+final class StubTensorTagger(charVocab: graft.core.Vocab,
+                             wordVocab: graft.core.Vocab,
+                             trie: graft.core.Trie,
+                             dict: Map[String, String],
+                             MaxLen: Int, MaxWords: Int)
+    extends graft.stages.MentionTagger {
+    def tagBatch(texts: Seq[String]): Seq[Array[String]] = {
+      val n = texts.length
+      val rows = texts.map(t =>
+        Encode.convert(t, charVocab, wordVocab, trie, MaxLen, MaxWords))
+      // ---- D8 batch-contract assertions (le_loader.py:183-193) ----------
+      // [N, L] tensors, rectangular
+      assert(rows.length == n)
+      assert(rows.forall(_.inputIds.length == MaxLen), "input_ids not [N,L]")
+      assert(rows.forall(_.attentionMask.length == MaxLen), "attention_mask not [N,L]")
+      assert(rows.forall(_.tokenTypeIds.length == MaxLen), "token_type_ids not [N,L]")
+      // [N, L, W] tensors, rectangular
+      assert(rows.forall(r => r.matchedWordIds.length == MaxLen &&
+        r.matchedWordIds.forall(_.length == MaxWords)), "matched_word_ids not [N,L,W]")
+      assert(rows.forall(r => r.matchedWordMask.length == MaxLen &&
+        r.matchedWordMask.forall(_.length == MaxWords)), "matched_word_mask not [N,L,W]")
+      // mask ⊆ attention positions; ids zero where mask is zero
+      assert(rows.forall(r => (0 until MaxLen).forall(i =>
+        (0 until MaxWords).forall(w =>
+          r.matchedWordMask(i)(w) == 1 || r.matchedWordIds(i)(w) == 0))))
+
+      // ---- stub "model": decode tags from the TENSORS alone -------------
+      rows.zip(texts).map { case (r, text) =>
+        val tags = Array.fill(text.length)("O")
+        for (pos <- 1 until MaxLen; w <- 0 until MaxWords
+             if r.matchedWordMask(pos)(w) == 1) {
+          val word = wordVocab.token(r.matchedWordIds(pos)(w))
+          val c = pos - 1 // un-shift the [CLS] offset
+          // a covered word STARTS here iff the previous position's list
+          // doesn't carry it (fixture surfaces don't self-overlap)
+          val startsHere = pos == 1 ||
+            !(0 until MaxWords).exists(v => r.matchedWordMask(pos - 1)(v) == 1 &&
+              wordVocab.token(r.matchedWordIds(pos - 1)(v)) == word)
+          if (startsHere && c + word.length <= text.length) {
+            val label = dict(word)
+            if (word.length == 1) tags(c) = s"S-$label"
+            else {
+              tags(c) = s"B-$label"
+              for (k <- 1 until word.length - 1) tags(c + k) = s"I-$label"
+              tags(c + word.length - 1) = s"E-$label"
+            }
+          }
+        }
+        tags
+      }
+    }
+}
+
+class OnnxSeamSpec extends SparkSpecBase {
+  import graft.core.{Trie, Turn, Vocab}
+  import graft.stages.{Detect, MentionTagger}
+  import graft.synth.Transcripts
+
+  test("stub tensor scorer drives Detect.run end-to-end (swap-in-ONNX contract)") {
+    import spark.implicits._
+    val aliases = Transcripts.aliasRows
+    val chars = ("abcdefghijklmnopqrstuvwxyz" + "ABCDEFGHIJKLMNOPQRSTUVWXYZ ")
+      .map(_.toString)
+    val charVocab = Vocab(Seq(Encode.Cls, Encode.Sep) ++ chars, isWord = true)
+    val wordVocab = Vocab(aliases.map(_.surface), isWord = true)
+    val trie = Trie(aliases.map(_.surface))
+    val dict = aliases.map(r => r.surface -> r.label).toMap
+    val tagger = spark.sparkContext.broadcast[MentionTagger](
+      new StubTensorTagger(charVocab, wordVocab, trie, dict, 64, 5))
+
+    val turns = Seq(
+      Turn("c1", 0, "user", "Alice Varga joined Acme Corp", null,
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      Turn("c1", 1, "user", "Globex opened an office in Berlin", null,
+        java.sql.Timestamp.valueOf("2024-01-01 10:01:00")),
+      Turn("c2", 0, "user", "no entities at all here", null,
+        java.sql.Timestamp.valueOf("2024-01-01 10:02:00"))).toDS()
+
+    val got = Detect.run(turns, tagger).collect()
+      .map(m => (m.conv_id, m.turn_idx, m.surface, m.label)).toSet
+    assert(got == Set(
+      ("c1", 0, "Alice Varga", "PER"), ("c1", 0, "Acme Corp", "ORG"),
+      ("c1", 1, "Globex", "ORG"), ("c1", 1, "Berlin", "LOC")))
+  }
+}

@@ -128,6 +128,66 @@ class SimilaritySpec extends SparkSpecBase {
     assert(full.toSet == bf.toSet)
   }
 
+  test("trained (k-means) IVF quantizer: recall@3 ≥ 0.9 at nprobe=4 on clustered data") {
+    // IVF's contract is clusterABLE data; i.i.d. gaussian vectors are its
+    // adversarial case (neighbors spread uniformly over cells — recall there
+    // is ≈ nprobe/nlist by construction, tested as monotonicity below).
+    // Plant 16 clusters with tight noise, query from the same distribution.
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(16)(Array.fill(64)(rnd.nextGaussian().toFloat * 5f))
+    val pts = (0 until 400).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.zip(Array.fill(64)(rnd.nextGaussian().toFloat * 0.3f)).map(t => t._1 + t._2))
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+    val q = emb.filter($"vec_id" < 20)
+    val bf = Similarity.bruteForceTopK(q, emb, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, emb, 3, nlist = 16, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.9, s"recall@3 = $recall (${(bf & ivf).size}/${bf.size})")
+  }
+
+  test("IVF recall grows monotonically with nprobe on i.i.d. fixture embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 20)
+    val bf = Similarity.bruteForceTopK(q, emb, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(nprobe: Int): Double = {
+      val ivf = Similarity.ivfTopK(q, emb, 3, nlist = 16, nprobe = nprobe).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (bf & ivf).size.toDouble / bf.size
+    }
+    val r2 = recallAt(2); val r8 = recallAt(8); val r16 = recallAt(16)
+    assert(r2 <= r8 && r8 <= r16, s"recall not monotone: $r2, $r8, $r16")
+    assert(r16 == 1.0, s"exhaustive probing must be exact, got $r16")
+  }
+
+  test("k-means centroids are deterministic and cover multiple cells") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val c1 = Similarity.kmeansCentroids(emb, nlist = 8, iters = 2)
+    val c2 = Similarity.kmeansCentroids(emb, nlist = 8, iters = 2)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq, "non-deterministic centroids")
+    // trained centroids must differ from the raw init (training moved them)
+    val init = Similarity.kmeansCentroids(emb, nlist = 8, iters = 0)
+    assert(c1.map(_.toSeq).toSeq != init.map(_.toSeq).toSeq)
+  }
+
+  test("threshold-p semantics (label_counter.py:56-68): neighbors below p excluded") {
+    val vs = (0 until 60).map(i => (i.toLong, vec(i)))
+    val emb = vs.toDF("vec_id", "embedding")
+    val none = Similarity.ivfTopK(emb.filter($"vec_id" < 3), emb, 5,
+      nlist = 4, nprobe = 4, minScore = 1.1)
+    assert(none.count() == 0)
+    val thr = Similarity.ivfTopK(emb.filter($"vec_id" < 3), emb, 5,
+      nlist = 4, nprobe = 4, minScore = 0.0).collect()
+    assert(thr.forall(_.getDouble(3) >= 0.0))
+    val unthr = Similarity.ivfTopK(emb.filter($"vec_id" < 3), emb, 5,
+      nlist = 4, nprobe = 4)
+    assert(thr.length <= unthr.count())
+  }
+
   test("sign buckets are deterministic across evaluations") {
     val vs = (0 until 20).map(i => (i.toLong, vec(i)))
     val emb = vs.toDF("vec_id", "embedding")

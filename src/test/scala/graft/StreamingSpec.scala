@@ -97,6 +97,43 @@ class StreamingTriplesSpec extends SparkSpecBase {
       ("PER02", "follows_up", "PER01", 2)))  // state carried ACROSS batches
   }
 
+  test("event-time eviction: idle conversations lose state; late turns are dropped") {
+    import java.sql.Timestamp
+    import graft.streaming.StreamingTriples.TimedCanonMention
+    implicit val sqlCtx = spark.sqlContext
+    def tcm(conv: String, turn: Int, start: Int, canon: String, minute: Int) =
+      TimedCanonMention(conv, turn, start, start + 3, "PER", "xxx", canon, canon,
+        Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00"))
+    val src = MemoryStream[TimedCanonMention]
+    val q = StreamingTriples.assembleWithEviction(src.toDS(),
+        watermark = "10 minutes", idleGap = "5 minutes")
+      .writeStream.format("memory").queryName("ev_out").outputMode("append").start()
+    // batch 1: conv A turn 0 (PER00) at 10:00
+    src.addData(tcm("A", 0, 0, "PER00", 0))
+    q.processAllAvailable()
+    // batch 2: unrelated conv B far ahead (minute 120) — advances the
+    // watermark to ~11:50, far past A's 10:00 + 5min idle gap
+    src.addData(tcm("B", 0, 0, "PER90", 120))
+    q.processAllAvailable()
+    // batch 3: another B event so the timer actually fires in a batch whose
+    // watermark already covers A's timeout
+    src.addData(tcm("B", 1, 0, "PER91", 121))
+    q.processAllAvailable()
+    // batch 4a: LATE turn for A (10:01, below watermark) → dropped entirely
+    src.addData(tcm("A", 1, 0, "PER01", 1))
+    q.processAllAvailable()
+    // batch 4b: fresh A turn ABOVE the watermark: state was evicted, so no
+    // follows_up against PER00 even though turn_idx is adjacent
+    src.addData(tcm("A", 1, 0, "PER01", 125))
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT subj, pred, obj, conv_id FROM ev_out")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    // B's own follows_up proves the handler still works; A must have NONE
+    assert(got.contains(("PER91", "follows_up", "PER90", "B")))
+    assert(!got.exists(t => t._4 == "A" && t._2 == "follows_up"),
+      s"evicted conversation A still emitted follows_up: $got")
+  }
+
   test("streaming triples equal batch triples on a full replayed corpus") {
     implicit val sqlCtx = spark.sqlContext
     val r = graft.stages.Pipeline.run(spark, 25)
