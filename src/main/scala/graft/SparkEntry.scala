@@ -191,7 +191,10 @@ object SparkEntry {
       Dedup.simhashPairs(tbl(s, dir, "documents"), maxHamming = 16)
     }),
     "q19_cosine_neardup" -> ((s, dir) => {
-      Dedup.cosineNearDupPairs(tbl(s, dir, "embeddings"), threshold = 0.35, planes = 4)
+      // planes=8 (256 buckets) with radius-1 multi-probe: candidate space
+      // ~n²/28 instead of the old planes=4 n²/16, recall strictly better
+      Dedup.cosineNearDupPairs(tbl(s, dir, "embeddings"), threshold = 0.35,
+        planes = 8, probeRadius = 1)
     }),
 
     // --- similarity search ------------------------------------------------
@@ -207,7 +210,10 @@ object SparkEntry {
     }),
     "q18_ann_lsh_topk" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
+      // ranks only: FP-robust for the cross-engine hash compare
       Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb, k = 3, planes = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // --- multimodal plumbing ---------------------------------------------
@@ -324,7 +330,8 @@ object SparkEntry {
     }),
     "q35_self_label_vocab" -> ((s, dir) => {
       val tagger = Detect.lexiconTagger(s, Transcripts.aliasRows, Transcripts.tagSet)
-      val words = tbl(s, dir, "documents").limit(200)
+      // doc_id < 200 (not limit(200)): deterministic input → oracle-able
+      val words = tbl(s, dir, "documents").filter(col("doc_id") < 200)
         .select(split(trim(col("text")), "\\s+").getItem(0).as("word")).distinct()
         .unionByName(s.createDataFrame(
           Transcripts.aliasRows.map(r => Tuple1(r.surface))).toDF("word"))
@@ -416,6 +423,22 @@ object SparkEntry {
   private val duckSameAsValues: String =
     graft.synth.Transcripts.sameAs
       .map { case (a, b) => s"('$a','$b')" }.mkString(", ")
+
+  /** DuckDB sign-LSH bucket over the SAME splitmix64 hyperplanes the Spark
+    * side uses (ops/Similarity.hyperplanes) — the plane values are embedded
+    * as double literals (Double.toString round-trips exactly), and both
+    * engines dot float-widened-to-double against them.
+    */
+  private def duckSignBucket(vexpr: String, planes: Int, dim: Int = 64): String =
+    graft.ops.Similarity.hyperplanes(planes, dim).zipWithIndex.map { case (pl, i) =>
+      s"(CASE WHEN list_dot_product(CAST($vexpr AS DOUBLE[]), ${pl.mkString("[", ", ", "]")}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Spark-exact cosine (vec_dot formula incl. the 1e-12 guard). */
+  private def duckCosine(a: String, b: String): String =
+    s"(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) / " +
+      s"(sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) * " +
+      s"greatest(sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))), 1e-12)))"
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -591,6 +614,28 @@ object SparkEntry {
            WHERE q.vec_id < 5)
          WHERE rank <= 3 ORDER BY query_id, rank""",
 
+    // --- sign-LSH family (literal-hyperplane buckets, engine-exact) ------
+    "q18_ann_lsh_topk" ->
+      s"""WITH cb AS (SELECT vec_id, embedding,
+             ${duckSignBucket("embedding", 4)} AS bucket FROM embeddings)
+         SELECT query_id, neighbor_id, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY ${duckCosine("q.embedding", "c.embedding")} DESC,
+                        c.vec_id ASC) AS rank
+           FROM cb q JOIN cb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+           WHERE q.vec_id < 20)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+    "q19_cosine_neardup" ->
+      s"""WITH cb AS (SELECT vec_id, embedding,
+             ${duckSignBucket("embedding", 8)} AS bucket FROM embeddings)
+         SELECT a, b, ROUND(rawcos, 6) AS cos FROM (
+           SELECT x.vec_id AS a, y.vec_id AS b,
+             ${duckCosine("x.embedding", "y.embedding")} AS rawcos
+           FROM cb x JOIN cb y
+             ON x.vec_id < y.vec_id AND bit_count(xor(x.bucket, y.bucket)) <= 1)
+         WHERE rawcos >= 0.35 ORDER BY a, b""",
+
     // --- md5-based sketches (cross-engine since hash60 is md5-derived) ---
     "q16_simhash_sketch" ->
       s"""$duckSimhashCtes
@@ -649,6 +694,18 @@ object SparkEntry {
            SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u)
          SELECT u AS id, LEAST(u, MIN(v)) AS canonical_id
          FROM reach GROUP BY u ORDER BY id""",
+    "q35_self_label_vocab" ->
+      s"""WITH w1 AS (SELECT DISTINCT split_part(trim(text), ' ', 1) AS word
+           FROM documents WHERE doc_id < 200),
+         allw AS (SELECT word FROM w1
+           UNION ALL SELECT * FROM (VALUES ${graft.synth.Transcripts.aliasRows.map(r => s"('${r.surface}')").mkString(", ")}) a(word)),
+         dict AS (SELECT * FROM (VALUES ${graft.synth.Transcripts.aliasRows.map(r => s"('${r.surface}','${r.label}')").mkString(", ")}) d(surface, label))
+         SELECT head_tag, COUNT(*) AS n FROM (
+           SELECT CASE WHEN lbl IS NOT NULL THEN 'B-' || lbl ELSE 'O' END AS head_tag FROM (
+             SELECT w.word,
+               (SELECT MIN(d.label) FROM dict d WHERE starts_with(w.word, d.surface)) AS lbl
+             FROM allw w))
+         GROUP BY head_tag ORDER BY head_tag""",
     "q38_multilabel_join" ->
       s"""WITH words AS (SELECT DISTINCT UNNEST(regexp_extract_all(text,
              '\\b(spark|customer|vector|window|table|stream|batch)\\b')) AS word
