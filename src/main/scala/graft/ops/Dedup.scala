@@ -123,22 +123,51 @@ object Dedup {
   val SimhashBits = 60
 
   /** 60-bit SimHash over md5-derived token hashes: bit i of the sketch =
-    * sign of Σ_tokens (bit i of hash60(token) ? +1 : −1). Pure column
-    * expressions (transform/aggregate over one materialized hash array).
+    * sign of Σ_tokens (bit i of hash60(token) ? +1 : −1).
+    *
+    * Implemented as a compiled typed map, NOT column HOFs: a column
+    * formulation (`transform` into a hash array + 60 per-bit `aggregate`s)
+    * gets its projections collapsed by Catalyst, so the md5 transform is
+    * re-evaluated once PER BIT AGGREGATE — 60× the md5 work, all
+    * interpreted (measured 5s at sf0.1 vs <1s here). The DuckDB oracle
+    * (SparkEntry q16) pins these exact semantics cross-engine.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    val toks = array_distinct(TextAnalysis.tokens(lower(col("text"))))
-    // materialize token hashes once, then per-bit aggregates over the
-    // materialized array (bit index is a compile-time Int, so shiftright's
-    // literal-numBits overload applies)
-    val withHashes = docs.select(col("doc_id"),
-      transform(toks, t => TextAnalysis.hash60(t)).as("hs"))
-    val sig = (0 until SimhashBits).map { i =>
-      when(aggregate(col("hs"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)
-      ) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    withHashes.select(col("doc_id"), sig.as("simhash"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, simhash60(text)) }
+      .toDF("doc_id", "simhash")
+  }
+
+  /** Pure-Scala mirror of the oracle's math: distinct whitespace tokens of
+    * the lower-cased text; per token the first 15 hex chars of md5 parsed
+    * as a 60-bit integer (== big-endian first 8 bytes >>> 4); per-bit sign
+    * votes. Bit-identical to `TextAnalysis.hash60`-based column math (the
+    * cross-engine check runs in CORRECTNESS via q16/q16b).
+    */
+  def simhash60(text: String): Long = {
+    val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty).distinct
+    val votes = new Array[Int](SimhashBits)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var ti = 0
+    while (ti < toks.length) {
+      val d = md.digest(toks(ti).getBytes("UTF-8"))
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      h = h >>> 4 // 64 big-endian bits → the first 15 hex chars' value
+      var b = 0
+      while (b < SimhashBits) {
+        votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1); b += 1
+      }
+      ti += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < SimhashBits) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
   }
 
   /** SimHash near-dup pairs: block on 4 bands of 15 bits, verify Hamming
