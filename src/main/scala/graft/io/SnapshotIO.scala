@@ -82,6 +82,15 @@ object SnapshotIO {
     spark.read.parquet(s"$p/*/*") // stage/snapshot are data columns, not dirs
   }
 
+  /** CSV metrics sink — the reference's metric-file shape (header + rows;
+    * the analysis CSVs of `CC/analysis.py` / training logs). The parquet
+    * lineage table above is the at-scale representation; this sink exists
+    * for drop-in compatibility with CSV consumers of the reference.
+    */
+  def writeMetricsCsv(metrics: DataFrame, path: String): Unit =
+    metrics.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(path)
+
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._

@@ -77,6 +77,58 @@ class DedupSpec extends SparkSpecBase {
   }
 }
 
+class SamplingSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.ops.Sampling
+
+  private lazy val rows = (0 until 1000).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+
+  test("seededShuffle: identical global order regardless of partitioning") {
+    val a = Sampling.seededShuffle(rows.repartition(7), Seq("id"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val b = Sampling.seededShuffle(rows.repartition(3), Seq("id"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    assert(a != a.sorted, "shuffle left the input in key order") // actually shuffled
+    assert(a.sorted == (0L until 1000L))
+  }
+
+  test("seededSplit: disjoint, exhaustive, ~proportional, partition-stable") {
+    val Seq(tr, te) = Sampling.seededSplit(rows, Seq("id"), Seq(0.8, 0.2))
+    val nTr = tr.count(); val nTe = te.count()
+    assert(nTr + nTe == 1000)
+    assert(tr.join(te, Seq("id"), "inner").count() == 0)
+    assert(nTr > 700 && nTr < 900, s"train split $nTr")
+    // membership survives repartitioning (randomSplit would NOT)
+    val Seq(tr2, _) = Sampling.seededSplit(rows.repartition(13), Seq("id"), Seq(0.8, 0.2))
+    assert(tr2.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      tr.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("seededSample: deterministic membership, ~fraction") {
+    val s1 = Sampling.seededSample(rows, Seq("id"), 0.1)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val s2 = Sampling.seededSample(rows.repartition(5), Seq("id"), 0.1)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(s1 == s2)
+    assert(s1.size > 50 && s1.size < 170, s"sample size ${s1.size}")
+  }
+}
+
+class MetricsCsvSpec extends SparkSpecBase {
+  test("CSV metrics sink round-trips the lineage table (reference CSV shape)") {
+    import graft.io.SnapshotIO
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    graft.stages.Pipeline.runWithSnapshots(spark, 20, dir).count()
+    val m = SnapshotIO.metrics(spark, dir)
+    SnapshotIO.writeMetricsCsv(m, s"$dir/metrics_csv")
+    val back = spark.read.option("header", "true").csv(s"$dir/metrics_csv")
+    assert(back.columns.toSeq == m.columns.toSeq)
+    assert(back.count() == m.count())
+    SnapshotIO.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+}
+
 class SimilaritySpec extends SparkSpecBase {
   import spark.implicits._
 

@@ -70,11 +70,17 @@ class PlansSpec extends SparkSpecBase {
       s"scalar path must stay codegen'd:\n$p")
   }
 
-  test("canon join carries NO forced broadcast hint (comp map is not dictionary-sized at scale)") {
+  test("canon join broadcast is size-GATED: hinted for a small comp map, not for a huge one") {
     val linked = Seq(LinkedMention("c", 0, 0, 5, "ORG", "Acme", "ORG00a", "exact")).toDS()
-    val canon = Canon.run(linked, Transcripts.sameAs.toDF("src", "dst"))
-    val p = canon.toDF().queryExecution.optimizedPlan.toString
-    assert(!p.contains("strategy=broadcast"), s"forced broadcast hint on canon join:\n$p")
+    // small comp map (6 vertices) → broadcast hint present, mention side never shuffles
+    val small = Canon.run(linked, Transcripts.sameAs.toDF("src", "dst"))
+    assert(small.toDF().queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "small comp map must be broadcast-hinted")
+    // force the gate shut (threshold 0) → no hint; AQE decides at runtime
+    val gated = Canon.run(linked, Transcripts.sameAs.toDF("src", "dst"),
+      maxBroadcastEntities = 0L)
+    assert(!gated.toDF().queryExecution.optimizedPlan.toString.contains("strategy=broadcast"),
+      "oversized comp map must NOT carry a forced broadcast hint")
   }
 
   test("Pipeline.run is lazy (zero jobs at construction) and memoized per (session, n, seed)") {
