@@ -326,7 +326,7 @@ object SparkEntry {
       val turns = Transcripts.turns(s, math.max(20L, convsFor(dir) / 10))
       val tagger = Detect.lexiconTagger(s, Transcripts.aliasRows, Transcripts.tagSet)
       val mentions = Detect.run(turns, tagger).toDF()
-      graft.ops.Augment.expandByReplacement(turns, mentions, copies = 2)
+      graft.ops.Augment.expandByReplacement(turns, mentions, copies = Q34Copies)
         .groupBy(col("attempt")).agg(count(lit(1)).as("n_expanded"))
         .orderBy(col("attempt"))
     }),
@@ -371,11 +371,24 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.rollingMinHash(col("text")).as("rfp"))
         .orderBy(col("doc_id"))
+    }),
+    "q40_ann_ivf_untrained" -> ((s, dir) => {
+      // IVF with the raw seeded quantizer (kmeansIters = 0): the init hash
+      // is md5-derived, so centroid election + cell assignment + probing +
+      // rerank are all re-derivable in DuckDB — the only IVF variant with
+      // an exact oracle (q37 keeps the trained quantizer, rows-only)
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, k = 3,
+        nlist = 16, nprobe = 3, kmeansIters = 0)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
   /** q16b hamming cutoff (shared between the Spark query and its oracle). */
   val Q16bMaxHamming = 8
+
+  /** q34 expansion copies (shared between the Spark query and its oracle). */
+  val Q34Copies = 2
 
   /** Static multi-label dictionary for q38 (shared with its oracle). */
   val multiLabelDict: Seq[(String, String)] = Seq(
@@ -436,6 +449,71 @@ object SparkEntry {
     graft.ops.Similarity.hyperplanes(planes, dim).zipWithIndex.map { case (pl, i) =>
       s"(CASE WHEN list_dot_product(CAST($vexpr AS DOUBLE[]), ${pl.mkString("[", ", ", "]")}) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  // ---- splitmix64 + Java String.hashCode replicated in DuckDB SQL -------
+  // (q34's seeded replacement draws: every pick is
+  //  mix(convId.hashCode ^ turn<<20 ^ attempt<<40 ^ k) — ops/Augment.scala.)
+  // 64-bit wrapping arithmetic via HUGEINT with 32-bit split multiplies;
+  // each intermediate is a NAMED CTE column (naive nesting explodes the
+  // expression exponentially). Verified value-exact against the JVM on
+  // boundary + random inputs before wiring in.
+  private val DuckH64 = "CAST(18446744073709551616 AS HUGEINT)"
+  private val DuckB32 = "CAST(4294967296 AS HUGEINT)"
+  private def duckU(x: String) =
+    s"(CAST($x AS HUGEINT) + CASE WHEN ($x) < 0 THEN $DuckH64 ELSE CAST(0 AS HUGEINT) END)"
+  private def duckWrap64(h: String) =
+    s"(CASE WHEN (($h) % $DuckH64) >= CAST(9223372036854775808 AS HUGEINT) THEN ((($h) % $DuckH64) - $DuckH64) ELSE (($h) % $DuckH64) END)::BIGINT"
+  private def duckLshr(x: String, n: Int) = s"CAST(${duckU(x)} >> $n AS BIGINT)"
+  private def duckMulStages(prefix: String, x: String, c: BigInt): Seq[(String, String)] = {
+    val cl = c & 0xFFFFFFFFL; val ch = c >> 32
+    Seq(
+      (s"${prefix}ux", duckU(x)),
+      (s"${prefix}prod",
+        s"((${prefix}ux % $DuckB32) * CAST($cl AS HUGEINT) + (((${prefix}ux >> 32) * CAST($cl AS HUGEINT) + (${prefix}ux % $DuckB32) * CAST($ch AS HUGEINT)) % $DuckB32) * $DuckB32)"),
+      (s"${prefix}out", duckWrap64(s"${prefix}prod")))
+  }
+  /** splitmix64(zcol) → column `out`, as chained (col, expr) stages. */
+  private def duckMixStages(zcol: String, out: String): Seq[(String, String)] =
+    Seq(
+      ("m_a", duckWrap64(s"(${duckU(zcol)} + CAST(${BigInt("9e3779b97f4a7c15", 16)} AS HUGEINT))")),
+      ("m_b", s"xor(m_a, ${duckLshr("m_a", 30)})")) ++
+    duckMulStages("m1_", "m_b", BigInt("bf58476d1ce4e5b9", 16)) ++
+    Seq(("m_c", s"xor(m1_out, ${duckLshr("m1_out", 27)})")) ++
+    duckMulStages("m2_", "m_c", BigInt("94d049bb133111eb", 16)) ++
+    Seq((out, s"xor(m2_out, ${duckLshr("m2_out", 31)})"))
+  private def duckWrap32(x: String) =
+    s"((((($x) + 2147483648) % 4294967296 + 4294967296) % 4294967296) - 2147483648)"
+  /** Java String.hashCode over a fixed-length column (conv ids are exactly
+    * "conv_%08d" = 13 chars for every corpus size this query runs at).
+    */
+  private def duckJavaHash(col: String, len: Int): String = {
+    var e = "CAST(0 AS BIGINT)"
+    for (i <- 1 to len) e = duckWrap32(s"31*($e) + ascii(substring($col, $i, 1))")
+    s"CAST($e AS BIGINT)"
+  }
+  /** Full q34 oracle: replay expandByReplacement's seeded draws in SQL —
+    * pools from the gold mention aux, per-mention k by the sort_array
+    * order, pick = pool[(mix(seed) >>> 1) % |pool|], count turns changed.
+    */
+  private def q34Oracle: String = {
+    val mixStages = duckMixStages("z", "mixed")
+    val ctes = Seq(
+      s"""m AS (SELECT conv_id, turn_idx, start, "end", label, surface FROM read_parquet('{AUX}/gold_mentions_small/*.parquet'))""",
+      """pools AS (SELECT label, len(surface) AS ln, list(surface ORDER BY surface) AS pool FROM (SELECT DISTINCT label, surface FROM m) GROUP BY label, len(surface))""",
+      """km AS (SELECT conv_id, turn_idx, label, surface, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY start, "end", label, surface) - 1 AS k FROM m)""",
+      s"""c0 AS (SELECT km.conv_id, km.turn_idx, km.surface, att.attempt, pools.pool,
+         xor(xor(xor(${duckJavaHash("km.conv_id", 13)}, CAST(km.turn_idx AS BIGINT) << 20), CAST(att.attempt AS BIGINT) << 40), CAST(km.k AS BIGINT)) AS z
+         FROM km CROSS JOIN (SELECT UNNEST([${(1 to Q34Copies).mkString(",")}]) AS attempt) att
+         JOIN pools ON pools.label = km.label AND pools.ln = len(km.surface))""") ++
+      mixStages.zipWithIndex.map { case ((col, expr), i) =>
+        s"c${i + 1} AS (SELECT *, $expr AS $col FROM c$i)"
+      } ++ Seq(
+      s"""picks AS (SELECT conv_id, turn_idx, attempt, surface,
+         pool[CAST((${duckLshr("mixed", 1)}) % len(pool) AS INT) + 1] AS pick FROM c${mixStages.length})""",
+      """turns AS (SELECT conv_id, turn_idx, attempt, bool_or(pick <> surface) AS changed FROM picks GROUP BY 1, 2, 3)""")
+    "WITH " + ctes.mkString(",\n") +
+      "\nSELECT attempt, COUNT(*) AS n_expanded FROM turns WHERE changed GROUP BY attempt ORDER BY attempt"
+  }
 
   /** Spark-exact cosine (vec_dot formula incl. the 1e-12 guard). */
   private def duckCosine(a: String, b: String): String =
@@ -639,6 +717,28 @@ object SparkEntry {
              ON x.vec_id < y.vec_id AND bit_count(xor(x.bucket, y.bucket)) <= 1)
          WHERE rawcos >= 0.35 ORDER BY a, b""",
 
+    "q40_ann_ivf_untrained" ->
+      s"""WITH seedh AS (SELECT vec_id, embedding,
+             ${duckHash60("CAST(vec_id AS VARCHAR) || ':7'")} AS h FROM embeddings),
+         cents AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, embedding AS cv
+           FROM (SELECT * FROM seedh ORDER BY h, vec_id LIMIT 16)),
+         scored AS (SELECT e.vec_id, e.embedding, c.cid,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) AS dot
+           FROM embeddings e CROSS JOIN cents c),
+         assigned AS (SELECT vec_id, embedding, cid AS cell FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+             FROM scored) WHERE rn = 1),
+         qprobes AS (SELECT vec_id AS query_id, embedding AS qv, cid AS cell FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid DESC) AS rn
+             FROM scored WHERE vec_id < 20) WHERE rn <= 3),
+         cand AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+             ${duckCosine("q.qv", "a.embedding")} AS rawcos
+           FROM qprobes q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.query_id)
+         SELECT query_id, neighbor_id, rank, ROUND(rawcos, 6) AS cos FROM (
+           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY rawcos DESC, neighbor_id ASC) AS INT) AS rank FROM cand)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+
     // --- md5-based sketches (cross-engine since hash60 is md5-derived) ---
     "q16_simhash_sketch" ->
       s"""$duckSimhashCtes
@@ -697,6 +797,7 @@ object SparkEntry {
            SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u WHERE s.v <> r.u)
          SELECT u AS id, LEAST(u, MIN(v)) AS canonical_id
          FROM reach GROUP BY u ORDER BY id""",
+    "q34_augment_expansion" -> q34Oracle,
     "q35_self_label_vocab" ->
       s"""WITH w1 AS (SELECT DISTINCT split_part(trim(text), ' ', 1) AS word
            FROM documents WHERE doc_id < 200),

@@ -86,16 +86,19 @@ object Similarity {
     * and only the `nlist × dim` centroid matrix is collected per iteration.
     *
     * Determinism: init picks the `nlist` vectors with the smallest
-    * `xxhash64(vec_id, seed)` (reproducible on any partitioning); iteration
-    * count is fixed (no convergence probe). Centroid means are distributed
-    * FP sums, associativity-dependent at the ~1e-13 level — immaterial for
-    * cell assignment, documented rather than hidden.
+    * `hash60("<vec_id>:<seed>")` (md5-derived — reproducible on any
+    * partitioning AND engine-portable, so the untrained quantizer is
+    * DuckDB-oracle-checkable); iteration count is fixed (no convergence
+    * probe). Centroid means are distributed FP sums,
+    * associativity-dependent at the ~1e-13 level — immaterial for cell
+    * assignment, documented rather than hidden.
     */
   def kmeansCentroids(corpus: DataFrame, nlist: Int, dim: Int = 64,
                       iters: Int = 3, seed: Long = 7L): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = corpus
       .select(col("vec_id"), col("embedding"))
-      .withColumn("_h", pmod(xxhash64(col("vec_id"), lit(seed)), lit(1000000007L)))
+      .withColumn("_h", TextAnalysis.hash60(
+        concat_ws(":", col("vec_id").cast("string"), lit(seed.toString))))
       .orderBy(col("_h"), col("vec_id")).limit(nlist)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
 
