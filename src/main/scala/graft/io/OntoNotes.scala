@@ -1,0 +1,152 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** OntoNotes4 `.name` XML → char-level BMES sentences
+  * (`tools/ontonotes4.py:18-120`), as a distributed reader.
+  *
+  * Reference semantics reproduced exactly, including the quirks:
+  *  - all whitespace EXCEPT newlines is stripped (`re.sub("[^\S\n]",'')`,
+  *    `:29`); newlines survive as sentence boundaries;
+  *  - `ENAMEX` children with TYPE ∈ {GPE, LOC, ORG, PERSON} get
+  *    B-/I-/E- char tags (S- when length 1, `:35-40`); other ENAMEX types
+  *    and non-ENAMEX elements emit all-O (`:41-45`); element tails emit
+  *    all-O (`:49-53`);
+  *  - text BEFORE the first child element (root.text) is DROPPED — the
+  *    reference iterates elements only (`for child in root:`, `:28`);
+  *  - the char stream splits into sentences at '\n'; segments starting
+  *    with "（完）" are dropped; EMPTY segments between consecutive
+  *    newlines are kept (the reference appends them, `:85-100`);
+  *  - eval/test files (`chtb_0001–0325`, `chtb_1001–1078`) alternate their
+  *    sentences into eval (odd ordinal) / test (even) via ONE global
+  *    counter (`:74-100`); everything else is train. The reference's
+  *    counter follows its sequential scan order — here the ordinal is a
+  *    window over (file, sentence_idx), i.e. lexicographic file order,
+  *    which matches the reference when map.txt lists files in name order
+  *    (documented determinism choice).
+  */
+object OntoNotes {
+
+  val ExpectLabels: Set[String] = Set("GPE", "LOC", "ORG", "PERSON")
+
+  /** strip whitespace except newlines, char-tokenize (`:29`). */
+  private def clean(s: String): Vector[String] =
+    if (s == null) Vector.empty
+    else s.replaceAll("[^\\S\\n]", "").map(_.toString).toVector
+
+  /** One `.name` XML document → (chars, labels) stream (`:18-53`). */
+  def parseNameXml(xml: String): (Vector[String], Vector[String]) = {
+    val factory = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    factory.setNamespaceAware(false)
+    val doc = factory.newDocumentBuilder()
+      .parse(new org.xml.sax.InputSource(new java.io.StringReader(xml)))
+    val root = doc.getDocumentElement
+    val text = Vector.newBuilder[String]
+    val label = Vector.newBuilder[String]
+    val nodes = root.getChildNodes
+    var seenElement = false
+    var i = 0
+    while (i < nodes.getLength) {
+      val n = nodes.item(i)
+      n.getNodeType match {
+        case org.w3c.dom.Node.ELEMENT_NODE =>
+          seenElement = true
+          val el = n.asInstanceOf[org.w3c.dom.Element]
+          val inner = clean(el.getTextContent)
+          val tags =
+            if (el.getTagName == "ENAMEX" && ExpectLabels(el.getAttribute("TYPE"))
+                && inner.nonEmpty) {
+              val t = el.getAttribute("TYPE")
+              if (inner.length == 1) Vector(s"S-$t")
+              else s"B-$t" +: Vector.fill(inner.length - 2)(s"I-$t") :+ s"E-$t"
+            } else Vector.fill(inner.length)("O")
+          text ++= inner; label ++= tags
+        case org.w3c.dom.Node.TEXT_NODE | org.w3c.dom.Node.CDATA_SECTION_NODE =>
+          // tails only: root.text before the first element is dropped (:28)
+          if (seenElement) {
+            val tail = clean(n.getNodeValue)
+            text ++= tail; label ++= Vector.fill(tail.length)("O")
+          }
+        case _ => ()
+      }
+      i += 1
+    }
+    (text.result(), label.result())
+  }
+
+  /** Char stream → sentences at '\n', dropping "（完）"-prefixed segments,
+    * KEEPING empty segments (`:85-100`).
+    */
+  def toSentences(chars: Vector[String], labels: Vector[String])
+      : Seq[(Int, Seq[String], Seq[String])] = {
+    val out = Seq.newBuilder[(Int, Seq[String], Seq[String])]
+    var last = 0
+    var idx = 0
+    def emit(from: Int, until: Int): Unit = {
+      val t = chars.slice(from, until)
+      if (!t.mkString.startsWith("（完）")) {
+        out += ((idx, t, labels.slice(from, until)))
+        idx += 1
+      }
+    }
+    var i = 0
+    while (i < chars.length) {
+      if (chars(i) == "\n") { emit(last, i); last = i + 1 }
+      i += 1
+    }
+    if (last < chars.length) emit(last, chars.length) // trailing segment (:94)
+    out.result()
+  }
+
+  /** eval/test file set (`:76-80`). */
+  def isEvalTestFile(file: String): Boolean = {
+    val m = raw"chtb_(\d{4})\.name".r.findFirstMatchIn(file)
+    m.exists { g =>
+      val n = g.group(1).toInt
+      (n >= 1 && n <= 325) || (n >= 1001 && n <= 1078)
+    }
+  }
+
+  /** Distributed read: every `.name` file under `pathGlob` (wholetext) →
+    * (file, sentence_idx, text array, label array).
+    */
+  def readNameFiles(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").textFile(pathGlob)
+      .select(input_file_name().as("path"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (path, xml) =>
+        val file = path.substring(path.lastIndexOf('/') + 1)
+        val (chars, labels) = parseNameXml(xml)
+        toSentences(chars, labels).map { case (i, t, l) => (file, i, t, l) }
+      }
+      .toDF("file", "sentence_idx", "text", "label")
+  }
+
+  /** Assign splits: train for ordinary files; eval/test files alternate by
+    * the global sentence ordinal (odd → eval, even → test, `:89`), ordered
+    * by (file, sentence_idx).
+    */
+  def withSplit(sentences: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("file"), col("sentence_idx"))
+    val evalTest = sentences.filter(isEvalTestUdf(col("file")))
+      .withColumn("_ord", row_number().over(w))
+      .withColumn("split",
+        when(pmod(col("_ord"), lit(2)) === 1, "eval").otherwise("test"))
+      .drop("_ord")
+    val train = sentences.filter(!isEvalTestUdf(col("file")))
+      .withColumn("split", lit("train"))
+    evalTest.unionByName(train)
+  }
+  private val isEvalTestUdf = udf(isEvalTestFile _)
+
+  /** labels.txt contents (`:141-148,165`): "O" + {B,I,E,S}-{type} for the
+    * expected types. The reference iterates a python set (arbitrary
+    * order); here types are sorted — documented determinism choice.
+    */
+  def labelList: Seq[String] =
+    "O" +: ExpectLabels.toSeq.sorted.flatMap(t =>
+      Seq("B", "I", "E", "S").map(p => s"$p-$t"))
+}

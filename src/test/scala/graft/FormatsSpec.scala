@@ -63,6 +63,53 @@ class FormatsSpec extends SparkSpecBase {
     assert(foo == Seq(0.1f, 0.2f, 0.3f, 0.4f))
   }
 
+  test("OntoNotes4 .name XML → char BMES sentences (ontonotes4.py:18-120)") {
+    import graft.io.OntoNotes
+    val xml =
+      "<DOC>leading text is dropped\n" +
+        "<ENAMEX TYPE=\"PERSON\">张 三</ENAMEX>在<ENAMEX TYPE=\"ORG\">百度 总部</ENAMEX>工作\n" +
+        "<ENAMEX TYPE=\"DATE\">昨天</ENAMEX>下雨\n（完）声明\n" +
+        "<ENAMEX TYPE=\"GPE\">京</ENAMEX></DOC>"
+    val (chars, labels) = OntoNotes.parseNameXml(xml)
+    val sents = OntoNotes.toSentences(chars, labels)
+    val byIdx = sents.map(s => s._1 -> (s._2.mkString, s._3)).toMap
+    // root.text ("leading text…") dropped entirely — sentence 0 starts at 张
+    assert(byIdx(0)._1 == "张三在百度总部工作") // inner space stripped
+    assert(byIdx(0)._2 == Seq("B-PERSON", "E-PERSON", "O",
+      "B-ORG", "I-ORG", "I-ORG", "E-ORG", "O", "O"))
+    assert(byIdx(1)._1 == "昨天下雨") // DATE not in expect set → all O
+    assert(byIdx(1)._2.forall(_ == "O"))
+    // "（完）声明" dropped; final sentence is the single-char GPE → S- tag
+    assert(byIdx(2)._1 == "京" && byIdx(2)._2 == Seq("S-GPE"))
+    assert(sents.length == 3)
+    assert(OntoNotes.labelList.head == "O" && OntoNotes.labelList.contains("S-GPE")
+      && OntoNotes.labelList.length == 17)
+  }
+
+  test("OntoNotes4 distributed read + eval/test alternation (ontonotes4.py:74-100)") {
+    import graft.io.OntoNotes
+    val dir = java.nio.file.Files.createTempDirectory("onto").toString
+    def write(name: String, body: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, name), body)
+    // eval/test file: 3 sentences → ordinals 1,2,3 → eval,test,eval
+    write("chtb_0001.name",
+      "<DOC><ENAMEX TYPE=\"LOC\">奥斯陆</ENAMEX>甲\n乙\n丙</DOC>")
+    // train file
+    write("vom_0099.name", "<DOC><ENAMEX TYPE=\"ORG\">微软</ENAMEX>丁</DOC>")
+    val parsed = OntoNotes.readNameFiles(spark, s"$dir/*.name")
+    val withSplit = OntoNotes.withSplit(parsed)
+      .select("file", "sentence_idx", "split").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(withSplit(("chtb_0001.name", 0)) == "eval")
+    assert(withSplit(("chtb_0001.name", 1)) == "test")
+    assert(withSplit(("chtb_0001.name", 2)) == "eval")
+    assert(withSplit(("vom_0099.name", 0)) == "train")
+    val loc = OntoNotes.readNameFiles(spark, s"$dir/chtb_0001.name")
+      .filter(col("sentence_idx") === 0).select("label").head().getSeq[String](0)
+    assert(loc == Seq("B-LOC", "I-LOC", "E-LOC", "O"))
+    graft.io.SnapshotIO.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("embedding source: multi-token words survive; wrong-dim lines dropped (embedding.py:29-31)") {
     val path = tmpFile("e2.txt",
       "4 3\nNew York 1 2 3\nshort 1 2\nok 4 5 6\nlong word here 7 8 9\n")
