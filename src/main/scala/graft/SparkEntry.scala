@@ -717,6 +717,14 @@ object SparkEntry {
              ON x.vec_id < y.vec_id AND bit_count(xor(x.bucket, y.bucket)) <= 1)
          WHERE rawcos >= 0.35 ORDER BY a, b""",
 
+    "q20_media_decode" ->
+      s"""SELECT doc_id AS media_id,
+         (['image','audio','video'])[CAST(${duckHash60("CAST(doc_id AS VARCHAR) || ':k'")} % 3 AS INT) + 1] AS kind,
+         CAST(${duckHash60("CAST(doc_id AS VARCHAR) || ':w'")} % 4096 AS INT) AS width,
+         CAST(${duckHash60("CAST(doc_id AS VARCHAR) || ':h'")} % 4096 AS INT) AS height,
+         CAST(octet_length(encode(text)) * 10 AS INT) AS duration_ms,
+         CAST(octet_length(encode(text)) + 20 AS INT) AS n_bytes
+         FROM documents ORDER BY media_id""",
     "q40_ann_ivf_untrained" ->
       s"""WITH seedh AS (SELECT vec_id, embedding,
              ${duckHash60("CAST(vec_id AS VARCHAR) || ':7'")} AS h FROM embeddings),

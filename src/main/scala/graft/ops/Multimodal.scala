@@ -22,18 +22,24 @@ object Multimodal {
 
   /** Synthetic media corpus derived deterministically from any id column:
     * 16-byte header [magic(4) kind(4) width(4) height(4)] + payload bytes.
+    * Header fields derive from the engine-portable md5-based
+    * `TextAnalysis.hash60`, so the decode stage's output is independently
+    * re-derivable by the DuckDB oracle (a true round-trip check of the
+    * binary plumbing).
     */
   def synthMedia(docs: DataFrame): DataFrame = {
     val kinds = array(lit("image"), lit("audio"), lit("video"))
+    def h(tag: String) =
+      TextAnalysis.hash60(concat_ws(":", col("doc_id").cast("string"), lit(tag)))
     docs.select(
       col("doc_id").as("media_id"),
-      element_at(kinds, (pmod(xxhash64(col("doc_id")), lit(3)) + 1).cast("int")).as("kind"),
-      // header+payload as binary: header fields encoded via conv/unhex of
-      // deterministic per-id hashes; payload = utf8 bytes of the text
+      element_at(kinds, (pmod(h("k"), lit(3)) + 1).cast("int")).as("kind"),
+      // header+payload as binary: header fields hex-encoded;
+      // payload = utf8 bytes of the text
       concat(
         lit("GRFT").cast("binary"),
-        lpad(conv(pmod(xxhash64(col("doc_id"), lit(1)), lit(4096)).cast("string"), 10, 16), 8, "0").cast("binary"),
-        lpad(conv(pmod(xxhash64(col("doc_id"), lit(2)), lit(4096)).cast("string"), 10, 16), 8, "0").cast("binary"),
+        lpad(conv(pmod(h("w"), lit(4096)).cast("string"), 10, 16), 8, "0").cast("binary"),
+        lpad(conv(pmod(h("h"), lit(4096)).cast("string"), 10, 16), 8, "0").cast("binary"),
         col("text").cast("binary")).as("payload"))
   }
 
