@@ -372,6 +372,17 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.rollingMinHash(col("text")).as("rfp"))
         .orderBy(col("doc_id"))
     }),
+    "q41_entity_prompts" -> ((s, dir) => {
+      // per-entity cloze prompts (tag_convert.py:23-61 over the detect
+      // output, per-turn origin dedup per lex_loader.py:156-171)
+      val turns = Transcripts.turns(s, math.max(20L, convsFor(dir) / 10))
+      val tagger = Detect.lexiconTagger(s, Transcripts.aliasRows, Transcripts.tagSet)
+      val mentions = Detect.run(turns, tagger).toDF()
+      graft.ops.Prompt.entityPrompts(mentions, PromptRules)
+        .groupBy(col("prompt_origin"), col("prompt"), col("mask_csv"), col("tags_csv"))
+        .agg(count(lit(1)).as("n_turns"))
+        .orderBy(col("prompt_origin"))
+    }),
     "q40_ann_ivf_untrained" -> ((s, dir) => {
       // IVF with the raw seeded quantizer (kmeansIters = 0): the init hash
       // is md5-derived, so centroid election + cell assignment + probing +
@@ -389,6 +400,10 @@ object SparkEntry {
 
   /** q34 expansion copies (shared between the Spark query and its oracle). */
   val Q34Copies = 2
+
+  /** q41 prompt rules: label type → cloze answer text (shared w/ oracle). */
+  val PromptRules: Map[String, String] =
+    Map("PER" -> "人物", "ORG" -> "机构", "LOC" -> "地点")
 
   /** Static multi-label dictionary for q38 (shared with its oracle). */
   val multiLabelDict: Seq[(String, String)] = Seq(
@@ -806,6 +821,20 @@ object SparkEntry {
          SELECT u AS id, LEAST(u, MIN(v)) AS canonical_id
          FROM reach GROUP BY u ORDER BY id""",
     "q34_augment_expansion" -> q34Oracle,
+    "q41_entity_prompts" ->
+      s"""WITH m AS (SELECT DISTINCT conv_id, turn_idx, label, surface
+           FROM read_parquet('{AUX}/gold_mentions_small/*.parquet')
+           WHERE length(surface) > 1),
+         rules AS (SELECT * FROM (VALUES ${PromptRules.toSeq.sorted.map { case (l, r) => s"('$l','$r')" }.mkString(", ")}) r(label, rule)),
+         p AS (SELECT conv_id, turn_idx,
+             surface || '是一个' || rule || ',' AS prompt_origin,
+             surface || '是一个' || repeat('[MASK]', length(rule)) || ',' AS prompt,
+             repeat('1,', length(surface)) || '1,1,1,' || repeat('0,', length(rule)) || '1' AS mask_csv,
+             'B-' || label || repeat(',I-' || label, length(surface) - 2) || ',E-' || label ||
+               repeat(',O', 3 + length(rule) + 1) AS tags_csv
+           FROM m JOIN rules USING (label))
+         SELECT prompt_origin, prompt, mask_csv, tags_csv, COUNT(*) AS n_turns
+         FROM p GROUP BY 1, 2, 3, 4 ORDER BY prompt_origin""",
     "q35_self_label_vocab" ->
       s"""WITH w1 AS (SELECT DISTINCT split_part(trim(text), ' ', 1) AS word
            FROM documents WHERE doc_id < 200),

@@ -77,6 +77,55 @@ class DedupSpec extends SparkSpecBase {
   }
 }
 
+class PromptSpec extends SparkSpecBase {
+  import spark.implicits._
+  import graft.ops.Prompt
+
+  test("tag2prompt matches the reference docstring example (tag_convert.py:23-61)") {
+    val rules = Map("position" -> "职位")
+    val p = Prompt.tagPrompt(Seq("B-position", "I-position"), "教师", rules).get
+    assert(p.prompt == Seq("教", "师", "是", "一", "个", "[MASK]", "[MASK]", ","))
+    assert(p.mask == Seq(1, 1, 1, 1, 1, 0, 0, 1))
+    assert(p.tags == Seq("B-position", "I-position", "O", "O", "O", "O", "O", "O"))
+    assert(p.origin == Seq("教", "师", "是", "一", "个", "职", "位", ","))
+    // unknown tag type → skipped (not_found_action branch)
+    assert(Prompt.tagPrompt(Seq("B-x", "E-x"), "ab", rules).isEmpty)
+    // length mismatch → the reference's ValueError
+    intercept[IllegalArgumentException] {
+      Prompt.tagPrompt(Seq("B-position"), "教师", rules)
+    }
+    val w = Prompt.wordPrompt("教师")
+    assert(w.prompt == Seq("教", "师", "是", "一", "个", "单", "词", ","))
+    assert(w.mask.forall(_ == 1) && w.tags.forall(_ == "O") && w.origin == w.prompt)
+  }
+
+  test("entityPrompts dedups per turn on origin and skips single chars") {
+    val mentions = Seq(
+      ("c1", 0, 0, 5, "ORG", "Acme"),
+      ("c1", 0, 9, 13, "ORG", "Acme"), // same surface twice in one turn → 1 prompt
+      ("c1", 0, 20, 21, "LOC", "X"),   // single char → skipped
+      ("c1", 1, 0, 4, "ORG", "Acme")   // other turn → its own prompt
+    ).toDF("conv_id", "turn_idx", "start", "end", "label", "surface")
+    val got = Prompt.entityPrompts(mentions, SparkEntry.PromptRules).collect()
+    assert(got.length == 2)
+    val row = got.find(_.getInt(1) == 0).get
+    assert(row.getString(2) == "Acme是一个机构,")
+    assert(row.getString(3) == "Acme是一个[MASK][MASK],")
+    assert(row.getString(4) == "1,1,1,1,1,1,1,0,0,1")
+    assert(row.getString(5) == "B-ORG,I-ORG,I-ORG,E-ORG,O,O,O,O,O,O")
+  }
+
+  test("matchedWordPrompts skips O-headed and single-char words (lex_loader.py:179-199)") {
+    val tagged = Seq(
+      ("Berlin", Seq("B-LOC", "I-LOC", "I-LOC", "I-LOC", "I-LOC", "E-LOC")),
+      ("the", Seq("O", "O", "O")),
+      ("x", Seq("S-LOC"))).toDF("word", "tags")
+    val got = Prompt.matchedWordPrompts(tagged, SparkEntry.PromptRules).collect()
+    assert(got.length == 1 && got.head.getString(0) == "Berlin")
+    assert(got.head.getString(1) == "Berlin是一个地点,")
+  }
+}
+
 class SamplingSpec extends SparkSpecBase {
   import spark.implicits._
   import graft.ops.Sampling
