@@ -372,6 +372,13 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.rollingMinHash(col("text")).as("rfp"))
         .orderBy(col("doc_id"))
     }),
+    "q42_minhash_native_pairs" -> ((s, dir) => {
+      // from-scratch MinHash+LSH on hash60 (engine-portable, full oracle;
+      // q15 keeps the spark.ml variant, rows-only)
+      Dedup.minhash60Pairs(tbl(s, dir, "documents"), k = 3, numPerms = 8,
+        rowsPerBand = 2, threshold = 0.4)
+        .orderBy(col("a"), col("b"))
+    }),
     "q41_entity_prompts" -> ((s, dir) => {
       // per-entity cloze prompts (tag_convert.py:23-61 over the detect
       // output, per-turn origin dedup per lex_loader.py:156-171)
@@ -776,6 +783,20 @@ object SparkEntry {
              ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id)
          SELECT pa AS a, pb AS b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
          FROM pairs WHERE bit_count(xor(sa, sb)) <= $Q16bMaxHamming ORDER BY a, b""",
+    "q42_minhash_native_pairs" ->
+      s"""WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(ts) - 3, 0) + 1),
+             i -> array_to_string(list_slice(ts, i + 1, i + 3), ' '))) AS ss
+           FROM (SELECT doc_id, $duckToks AS ts FROM documents) WHERE len(ts) > 0),
+         sig AS (SELECT doc_id, ss, list_transform(range(0, 8), i ->
+             list_min(list_transform(ss, s -> ${duckHash60("i::VARCHAR || ':' || s")}))) AS sig FROM sh),
+         banded AS (SELECT doc_id, ss, b, sig[b*2+1 : b*2+2] AS key FROM sig
+           CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS b) bands),
+         cand AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb, x.ss AS sa, y.ss AS sb
+           FROM banded x JOIN banded y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id)
+         SELECT pa AS a, pb AS b, jaccard FROM (
+           SELECT pa, pb, ROUND(len(list_intersect(sa, sb)) /
+             (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jaccard FROM cand)
+         WHERE jaccard >= 0.4 ORDER BY a, b""",
     "q39_rolling_fingerprint" ->
       s"""SELECT doc_id, CAST(list_min(list_transform(grams, g -> ${duckHash60("g")})) AS BIGINT) AS rfp
          FROM (SELECT doc_id, list_transform(range(0, greatest(len(ts) - 4, 0) + 1),

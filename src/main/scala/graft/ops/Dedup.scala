@@ -140,24 +140,34 @@ object Dedup {
       .toDF("doc_id", "simhash")
   }
 
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** Pure-Scala mirror of `TextAnalysis.hash60`: the first 15 hex chars of
+    * md5 parsed as a 60-bit integer (== big-endian first 8 bytes >>> 4).
+    * Bit-identical to the column/DuckDB formulations (pinned by the q16,
+    * q39, q42 oracles).
+    */
+  def md5Hash60(s: String): Long = {
+    val d = md5Local.get().digest(s.getBytes("UTF-8")) // digest() auto-resets
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
   /** Pure-Scala mirror of the oracle's math: distinct whitespace tokens of
-    * the lower-cased text; per token the first 15 hex chars of md5 parsed
-    * as a 60-bit integer (== big-endian first 8 bytes >>> 4); per-bit sign
-    * votes. Bit-identical to `TextAnalysis.hash60`-based column math (the
-    * cross-engine check runs in CORRECTNESS via q16/q16b).
+    * the lower-cased text; per token the 60-bit md5 hash; per-bit sign
+    * votes.
     */
   def simhash60(text: String): Long = {
     val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
       .split("\\s+").filter(_.nonEmpty).distinct
     val votes = new Array[Int](SimhashBits)
-    val md = java.security.MessageDigest.getInstance("MD5")
     var ti = 0
     while (ti < toks.length) {
-      val d = md.digest(toks(ti).getBytes("UTF-8"))
-      var h = 0L
-      var i = 0
-      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
-      h = h >>> 4 // 64 big-endian bits → the first 15 hex chars' value
+      val h = md5Hash60(toks(ti))
       var b = 0
       while (b < SimhashBits) {
         votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1); b += 1
@@ -168,6 +178,61 @@ object Dedup {
     var b = 0
     while (b < SimhashBits) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
     sig
+  }
+
+  /** token k-shingling shared by the compiled dedup paths (same semantics
+    * as the `shingles` column op and the q14/q39/q42 oracles: trim → lower
+    * → whitespace split → sliding k, whole-text gram when shorter).
+    */
+  def kShingles(text: String, k: Int): Array[String] = {
+    val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    val grams =
+      if (toks.length < k) {
+        if (toks.isEmpty) Array.empty[String] else Array(toks.mkString(" "))
+      } else toks.sliding(k).map(_.mkString(" ")).toArray
+    grams.distinct
+  }
+
+  /** From-scratch MinHash+LSH near-dup pairs on the md5-derived hash60 —
+    * engine-portable, unlike `minhashLshPairs`' spark.ml hash family.
+    * Permutation i is approximated by the keyed hash
+    * `hash60("<i>:<shingle>")`; signatures band into
+    * `numPerms / rowsPerBand` bands; same-band-signature docs become
+    * candidate pairs; exact Jaccard over the shingle sets verifies.
+    * Shingle arrays ride along to the (small) candidate set for the exact
+    * check — at web scale you would semi-join candidates back to the
+    * shingle table instead of carrying the arrays.
+    */
+  def minhash60Pairs(docs: DataFrame, k: Int = 3, numPerms: Int = 8,
+                     rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame = {
+    require(numPerms % rowsPerBand == 0, "numPerms must divide into bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sig = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val grams = kShingles(text, k)
+        if (grams.isEmpty) None
+        else Some((id, grams.toSeq, Seq.tabulate(numPerms)(i =>
+          grams.iterator.map(g => md5Hash60(s"$i:$g")).min)))
+      }.toDF("doc_id", "shingles", "sig")
+    val nBands = numPerms / rowsPerBand
+    val banded = sig.select(col("doc_id"), col("shingles"),
+      explode(array((0 until nBands).map(b => struct(lit(b).as("band"),
+        slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("shingles"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"), col("doc_id").as("a"),
+      col("shingles").as("sa"))
+    val b = banded.select(col("band"), col("key"), col("doc_id").as("b"),
+      col("shingles").as("sb"))
+    a.join(b, Seq("band", "key")).filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sa"), col("sb")).distinct()
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("sa")) + size(col("sb")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** SimHash near-dup pairs: block on 4 bands of 15 bits, verify Hamming

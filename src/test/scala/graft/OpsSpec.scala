@@ -58,6 +58,17 @@ class DedupSpec extends SparkSpecBase {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("native minhash60 LSH finds the near-dup pair, not unrelated docs") {
+    val pairs = Dedup.minhash60Pairs(docs.filter(col("doc_id").isin(0, 2, 3)),
+        k = 3, numPerms = 8, rowsPerBand = 2, threshold = 0.4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((0L, 2L)))
+    // exact duplicates share every band → candidate + jaccard 1.0
+    val dup = Dedup.minhash60Pairs(docs.filter(col("doc_id").isin(0, 1)),
+      k = 3, threshold = 0.99).collect()
+    assert(dup.length == 1 && dup.head.getDouble(2) == 1.0)
+  }
+
   test("simhash: identical docs get identical sketches; near-dups low hamming") {
     val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(0L) == sh(1L))
