@@ -55,6 +55,16 @@ object Triples {
 
     val perTurn = canon
       .filter(col("canonical_id").isNotNull)
+      // ONE exchange serves both downstream operators: hash-partitioning on
+      // conv_id satisfies the aggregation's ClusteredDistribution on
+      // (conv_id, turn_idx) AND the window's (or prev-join's) on conv_id.
+      // Without it the plan pays TWO exchanges — the agg shuffles on the
+      // composite key and the window re-shuffles the aggregated rows — and
+      // collect_list partials don't compress, so the first exchange shipped
+      // the full struct volume anyway (plan-asserted in PlansSpec). Skew
+      // bound: a conversation's mentions fit one partition — the same
+      // invariant the per-conversation window already requires.
+      .repartition(col("conv_id"))
       .groupBy(col("conv_id"), col("turn_idx"))
       .agg(sort_array(collect_list(struct(col("start"), col("label"),
         col("canonical_id")))).as("ms"))

@@ -40,12 +40,17 @@ class PlansSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"))
   }
 
-  test("triple assembly contains no self-join of the mention table") {
+  test("triple assembly: no self-join, and ONE exchange serves agg + window") {
     val canon = Seq(CanonMention("c", 0, 0, 5, "PER", "x", "PER00", "PER00")).toDS()
     val p = plan(Triples.run(canon).toDF())
     // one aggregate + one window over the aggregated relation; no join at all
     assert(!p.contains("Join"), s"triples must not join:\n$p")
     assert(p.contains("Window"))
+    // the conv_id repartition satisfies both the (conv,turn) aggregation
+    // and the conv window — a second exchange would re-ship the full
+    // struct volume (collect_list partials don't compress)
+    val nEx = "Exchange".r.findAllIn(p).length
+    assert(nEx == 1, s"expected exactly 1 exchange, got $nEx:\n$p")
   }
 
   test("brute-force top-k broadcasts the query side, not the corpus") {
