@@ -90,18 +90,24 @@ object Formats {
     * tolerant of over-length lines (`CC/loaders/utils/embedding.py:29-31`:
     * takes the LAST `dim` values as the vector and joins everything before
     * them as the word — so a word containing spaces still parses).
-    * `dim` comes from the header; if the file has no header, it is inferred
-    * from the first data line. Rows whose vector is not exactly `dim` floats
-    * are dropped (corrupt/short lines).
+    * `dim` comes from the explicit parameter when given (> 0); otherwise
+    * from the header, or inferred from the first data line. Rows whose
+    * vector is not exactly `dim` floats are dropped (corrupt/short lines).
+    *
+    * Inference caveat (pass `dim` explicitly to avoid it): the probe reads
+    * ONE line — with a multi-file glob, or a headerless file whose first
+    * word contains spaces, the inferred dim can be wrong and valid rows are
+    * then silently dropped by the size filters below.
     */
   def readEmbeddingTxt(spark: SparkSession, path: String,
-                       maxScan: Int = -1): DataFrame = {
+                       maxScan: Int = -1, dim0: Int = -1): DataFrame = {
     val raw0 = spark.read.textFile(path)
     val raw = if (maxScan > 0) raw0.limit(maxScan + 1) else raw0
     // header probe: tiny dimension input, one driver-side first() is fine
-    val first = raw.first().trim.split("\\s+")
+    lazy val first = raw.first().trim.split("\\s+")
     val dim =
-      if (first.length == 2 && first.forall(_.matches("\\d+"))) first(1).toInt
+      if (dim0 > 0) dim0
+      else if (first.length == 2 && first.forall(_.matches("\\d+"))) first(1).toInt
       else first.length - 1
     val noHeader = raw.filter(length(trim(col("value"))) > 0)
       .filter(!col("value").rlike("^\\s*\\d+\\s+\\d+\\s*$"))

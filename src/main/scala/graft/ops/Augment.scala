@@ -48,18 +48,25 @@ object Augment {
     val spark = turns.sparkSession
     import spark.implicits._
 
-    // mentions feeds TWO actions (the pool collect below and the join that
-    // the caller eventually executes) — persist so an expensive upstream
-    // lineage (detect over the corpus) runs once, not twice
+    // mentions feeds TWO consumers (the pool collect below and the per-turn
+    // aggregate in the returned plan) — persist so an expensive upstream
+    // lineage (detect over the corpus) runs once, not twice. The persist is
+    // RELEASED before returning: the per-turn aggregate is eagerly
+    // local-checkpointed (so the returned plan no longer references
+    // `mentions` at all), which lets us unpersist here instead of leaking
+    // cached blocks into long-lived caller sessions (checkpoint blocks are
+    // reclaimed by the ContextCleaner once the returned plan is GC'd).
     val mentions = mentions0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val coll = labelCollection(mentions, maxPool).collect()
-      .map(r => (r.getString(0), r.getInt(1)) -> r.getSeq[String](2).toVector).toMap
-    val collB = spark.sparkContext.broadcast(coll)
 
     val perTurn = mentions.groupBy(col("conv_id"), col("turn_idx"))
       .agg(sort_array(collect_list(struct(col("start"), col("end"),
         col("label"), col("surface")))).as("ms"))
+      .localCheckpoint(true) // eager: materializes `mentions` into the cache
+
+    val coll = labelCollection(mentions, maxPool).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getSeq[String](2).toVector).toMap
+    val collB = spark.sparkContext.broadcast(coll)
+    mentions.unpersist(false)
 
     turns.toDF().join(perTurn, Seq("conv_id", "turn_idx"))
       .flatMap { row =>

@@ -122,7 +122,10 @@ object Canon {
     import spark.implicits._
     val comp = connectedComponents(sameAs)
     val compSide =
-      if (comp.limit((maxBroadcastEntities + 1).toInt).count() <= maxBroadcastEntities)
+      // clamp before the Int cast: a threshold near Long.MaxValue must mean
+      // "always broadcast", not overflow into a negative limit()
+      if (comp.limit(math.min(maxBroadcastEntities, Int.MaxValue.toLong - 1).toInt + 1)
+            .count() <= maxBroadcastEntities)
         broadcast(comp)
       else comp
     linked.join(compSide, linked("entity_id") === compSide("id"), "left")

@@ -47,7 +47,13 @@ object Link {
       .groupBy(col("word"))
       .agg(slice(sort_array(collect_set(col("label"))), 1, k).as("labels"))
 
-  /** @param enableFuzzy when false (the default), skip the LSH pass
+  /** BEHAVIOR CHANGE (round 2): `enableFuzzy` defaults to **false** — it
+    * defaulted to true in round 1. Callers relying on the old default must
+    * now opt in; mentions that miss the dictionary link to null (NIL) with
+    * no error under the new default. The default-off contract is pinned by
+    * PipelineSpec ("default Link.run is exact-only").
+    *
+    * @param enableFuzzy when false (the default), skip the LSH pass
     *        entirely: mentions that miss the dictionary stay NIL. The
     *        production flow at 10^12 turns runs exact-only in the main pass
     *        and fuzzy-links the NIL partition as a separate job

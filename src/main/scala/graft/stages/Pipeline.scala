@@ -48,7 +48,11 @@ object Pipeline {
   // deterministic, so repeated `run` calls (several bench/verify queries
   // consume different stages of the same pipeline) share one Result — the
   // CC loop and the triples persist happen once per session, not per query.
-  // WeakHashMap: a stopped session's entries become collectable.
+  // Eviction: a WeakHashMap alone would never collect these entries — each
+  // Result captures its SparkSession (directly and through its materialized
+  // Datasets), i.e. the map's values strongly reference their own key, the
+  // documented WeakHashMap caveat. Entries are therefore evicted EXPLICITLY
+  // by an application-end listener registered per session below.
   private val memo =
     new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[(Long, Long), Result]]()
 
@@ -63,7 +67,17 @@ object Pipeline {
     if (!memoize) return new Result(spark, nConvs, seed, persistTriples = false)
     val perSession = memo.synchronized {
       var m = memo.get(spark)
-      if (m == null) { m = scala.collection.concurrent.TrieMap.empty; memo.put(spark, m) }
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        memo.put(spark, m)
+        // drop the session's memoized Results (and their persisted triples)
+        // as soon as the session stops — see the eviction note on `memo`
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            memo.synchronized { memo.remove(spark) }
+        })
+      }
       m
     }
     perSession.getOrElseUpdate((nConvs, seed), new Result(spark, nConvs, seed))
