@@ -180,9 +180,14 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))
     }),
     "q15_minhash_pairs" -> ((s, dir) => {
-      // LSH over 3-shingles; fixture docs are near-orthogonal so pair the
-      // corpus against itself with a generous distance to exercise the path
-      Dedup.minhashLshPairs(tbl(s, dir, "documents").limit(300), k = 1, maxDist = 0.35)
+      // engine-portable MinHash+LSH at a SECOND operating point (bigram
+      // shingles, 12 perms / 4 bands of 3) — q42 covers k=3/8-perm/2-row.
+      // The spark.ml MinHashLSH variant this replaces stays test-pinned
+      // (OpsSpec "minhash LSH candidates"); its hash family is not
+      // SQL-expressible, so it could never earn an oracle row.
+      Dedup.minhash60Pairs(tbl(s, dir, "documents"), k = Q15K,
+        numPerms = Q15Perms, rowsPerBand = Q15Rows, threshold = Q15Threshold)
+        .orderBy(col("a"), col("b"))
     }),
     "q16_simhash_sketch" -> ((s, dir) => {
       Dedup.simhash(tbl(s, dir, "documents")).orderBy(col("doc_id"))
@@ -206,9 +211,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
     "q37_ann_ivf_topk" -> ((s, dir) => {
+      // trained quantizer (2 Lloyd iterations). Oracle-checkable since
+      // round 3: kmeansCentroids is bit-deterministic (decimal sums), so
+      // the oracle reads the SAME matrix from the {AUX}/ivf_centroids dump
+      // and re-derives assignment → probing → rerank in SQL (q40's shape).
       val emb = tbl(s, dir, "embeddings")
       Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, k = 3,
         nlist = 16, nprobe = 3)
+        .orderBy(col("query_id"), col("rank"))
     }),
     "q18_ann_lsh_topk" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
@@ -405,6 +415,9 @@ object SparkEntry {
   /** q16b hamming cutoff (shared between the Spark query and its oracle). */
   val Q16bMaxHamming = 8
 
+  /** q15 native-minhash operating point (shared with its oracle). */
+  val Q15K = 2; val Q15Perms = 12; val Q15Rows = 3; val Q15Threshold = 0.35
+
   /** q34 expansion copies (shared between the Spark query and its oracle). */
   val Q34Copies = 2
 
@@ -535,6 +548,30 @@ object SparkEntry {
       """turns AS (SELECT conv_id, turn_idx, attempt, bool_or(pick <> surface) AS changed FROM picks GROUP BY 1, 2, 3)""")
     "WITH " + ctes.mkString(",\n") +
       "\nSELECT attempt, COUNT(*) AS n_expanded FROM turns WHERE changed GROUP BY attempt ORDER BY attempt"
+  }
+
+  /** Full SQL re-derivation of `Dedup.minhash60Pairs` at any operating
+    * point: distinct k-shingles → numPerms keyed-hash60 min-signatures →
+    * bands of rowsPerBand → candidate pairs on band equality → exact
+    * Jaccard ≥ threshold. Used by q42 and q15 (two operating points).
+    */
+  private def minhash60OracleSql(k: Int, numPerms: Int, rowsPerBand: Int,
+                                 threshold: Double): String = {
+    val nBands = numPerms / rowsPerBand
+    val bandList = (0 until nBands).mkString(",")
+    s"""WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(ts) - $k, 0) + 1),
+           i -> array_to_string(list_slice(ts, i + 1, i + $k), ' '))) AS ss
+         FROM (SELECT doc_id, $duckToks AS ts FROM documents) WHERE len(ts) > 0),
+       sig AS (SELECT doc_id, ss, list_transform(range(0, $numPerms), i ->
+           list_min(list_transform(ss, s -> ${duckHash60("i::VARCHAR || ':' || s")}))) AS sig FROM sh),
+       banded AS (SELECT doc_id, ss, b, sig[b*$rowsPerBand+1 : b*$rowsPerBand+$rowsPerBand] AS key FROM sig
+         CROSS JOIN (SELECT UNNEST([$bandList]) AS b) bands),
+       cand AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb, x.ss AS sa, y.ss AS sb
+         FROM banded x JOIN banded y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id)
+       SELECT pa AS a, pb AS b, jaccard FROM (
+         SELECT pa, pb, ROUND(len(list_intersect(sa, sb)) /
+           (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jaccard FROM cand)
+       WHERE jaccard >= $threshold ORDER BY a, b"""
   }
 
   /** Spark-exact cosine (vec_dot formula incl. the 1e-12 guard). */
@@ -769,6 +806,26 @@ object SparkEntry {
              ORDER BY rawcos DESC, neighbor_id ASC) AS INT) AS rank FROM cand)
          WHERE rank <= 3 ORDER BY query_id, rank""",
 
+    "q37_ann_ivf_topk" ->
+      s"""WITH cents AS (SELECT cid, cv
+             FROM read_parquet('{AUX}/ivf_centroids/*.parquet')),
+         scored AS (SELECT e.vec_id, e.embedding, c.cid,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv) AS dot
+           FROM embeddings e CROSS JOIN cents c),
+         assigned AS (SELECT vec_id, embedding, cid AS cell FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+             FROM scored) WHERE rn = 1),
+         qprobes AS (SELECT vec_id AS query_id, embedding AS qv, cid AS cell FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid DESC) AS rn
+             FROM scored WHERE vec_id < 20) WHERE rn <= 3),
+         cand AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+             ${duckCosine("q.qv", "a.embedding")} AS rawcos
+           FROM qprobes q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.query_id)
+         SELECT query_id, neighbor_id, rank, ROUND(rawcos, 6) AS cos FROM (
+           SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY rawcos DESC, neighbor_id ASC) AS INT) AS rank FROM cand)
+         WHERE rank <= 3 ORDER BY query_id, rank""",
+
     // --- md5-based sketches (cross-engine since hash60 is md5-derived) ---
     "q16_simhash_sketch" ->
       s"""$duckSimhashCtes
@@ -783,20 +840,10 @@ object SparkEntry {
              ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id)
          SELECT pa AS a, pb AS b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
          FROM pairs WHERE bit_count(xor(sa, sb)) <= $Q16bMaxHamming ORDER BY a, b""",
-    "q42_minhash_native_pairs" ->
-      s"""WITH sh AS (SELECT doc_id, list_distinct(list_transform(range(0, greatest(len(ts) - 3, 0) + 1),
-             i -> array_to_string(list_slice(ts, i + 1, i + 3), ' '))) AS ss
-           FROM (SELECT doc_id, $duckToks AS ts FROM documents) WHERE len(ts) > 0),
-         sig AS (SELECT doc_id, ss, list_transform(range(0, 8), i ->
-             list_min(list_transform(ss, s -> ${duckHash60("i::VARCHAR || ':' || s")}))) AS sig FROM sh),
-         banded AS (SELECT doc_id, ss, b, sig[b*2+1 : b*2+2] AS key FROM sig
-           CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS b) bands),
-         cand AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb, x.ss AS sa, y.ss AS sb
-           FROM banded x JOIN banded y ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id)
-         SELECT pa AS a, pb AS b, jaccard FROM (
-           SELECT pa, pb, ROUND(len(list_intersect(sa, sb)) /
-             (len(sa) + len(sb) - len(list_intersect(sa, sb))), 6) AS jaccard FROM cand)
-         WHERE jaccard >= 0.4 ORDER BY a, b""",
+    "q42_minhash_native_pairs" -> minhash60OracleSql(
+      k = 3, numPerms = 8, rowsPerBand = 2, threshold = 0.4),
+    "q15_minhash_pairs" -> minhash60OracleSql(
+      k = Q15K, numPerms = Q15Perms, rowsPerBand = Q15Rows, threshold = Q15Threshold),
     "q39_rolling_fingerprint" ->
       s"""SELECT doc_id, CAST(list_min(list_transform(grams, g -> ${duckHash60("g")})) AS BIGINT) AS rfp
          FROM (SELECT doc_id, list_transform(range(0, greatest(len(ts) - 4, 0) + 1),

@@ -37,6 +37,16 @@ object Verify {
         .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/gold_mentions_small")
       Transcripts.goldTriples(spark, n).toDF()
         .coalesce(4).write.mode("overwrite").parquet(s"$auxDir/gold_triples")
+      // q37's TRAINED coarse quantizer: kmeansCentroids is bit-deterministic
+      // (seeded hash60 init, fixed Lloyd iterations, decimal sums), so this
+      // dump is exactly the matrix the q37 query trains internally — the
+      // oracle re-derives assignment → probing → rerank from it in SQL.
+      val cents = graft.ops.Similarity.kmeansCentroids(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"),
+        nlist = 16, dim = 64, iters = 2)
+      spark.createDataFrame(cents.toSeq.zipWithIndex.map { case (v, i) => (i, v.toSeq) })
+        .toDF("cid", "cv")
+        .coalesce(1).write.mode("overwrite").parquet(s"$auxDir/ivf_centroids")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] aux dump failed: ${e.getMessage}")
     }

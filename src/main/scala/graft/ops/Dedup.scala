@@ -200,34 +200,42 @@ object Dedup {
     * `hash60("<i>:<shingle>")`; signatures band into
     * `numPerms / rowsPerBand` bands; same-band-signature docs become
     * candidate pairs; exact Jaccard over the shingle sets verifies.
-    * Shingle arrays ride along to the (small) candidate set for the exact
-    * check — at web scale you would semi-join candidates back to the
-    * shingle table instead of carrying the arrays.
+    *
+    * Web-scale shape: the band join shuffles ONLY (band, key, doc_id) — the
+    * shingle arrays never enter its exchange (plan-asserted in OpsSpec);
+    * surviving candidate ids join BACK to the shingle relation for the
+    * exact check. The shingle flatMap lineage is therefore evaluated once
+    * per consumer (signatures + two join-back sides) — pure string work
+    * with no md5; in a production pipeline the shingle set would be a
+    * materialized column and the re-evaluation disappears.
     */
   def minhash60Pairs(docs: DataFrame, k: Int = 3, numPerms: Int = 8,
                      rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame = {
     require(numPerms % rowsPerBand == 0, "numPerms must divide into bands")
     val spark = docs.sparkSession
     import spark.implicits._
-    val sig = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    val sh = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val grams = kShingles(text, k)
-        if (grams.isEmpty) None
-        else Some((id, grams.toSeq, Seq.tabulate(numPerms)(i =>
-          grams.iterator.map(g => md5Hash60(s"$i:$g")).min)))
-      }.toDF("doc_id", "shingles", "sig")
+        if (grams.isEmpty) None else Some((id, grams.toSeq))
+      }.toDF("doc_id", "shingles")
+    val sig = sh.as[(Long, Seq[String])].map { case (id, grams) =>
+      (id, Seq.tabulate(numPerms)(i =>
+        grams.iterator.map(g => md5Hash60(s"$i:$g")).min))
+    }.toDF("doc_id", "sig")
     val nBands = numPerms / rowsPerBand
-    val banded = sig.select(col("doc_id"), col("shingles"),
+    val banded = sig.select(col("doc_id"),
       explode(array((0 until nBands).map(b => struct(lit(b).as("band"),
         slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("shingles"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.select(col("band"), col("key"), col("doc_id").as("a"),
-      col("shingles").as("sa"))
-    val b = banded.select(col("band"), col("key"), col("doc_id").as("b"),
-      col("shingles").as("sb"))
-    a.join(b, Seq("band", "key")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sa"), col("sb")).distinct()
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.select(col("band"), col("key"), col("doc_id").as("a"))
+      .join(banded.select(col("band"), col("key"), col("doc_id").as("b")),
+        Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("shingles").as("sa")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("shingles").as("sb")), Seq("b"))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard", round(col("inter") /
         (size(col("sa")) + size(col("sb")) - col("inter")), 6))

@@ -89,9 +89,13 @@ object Similarity {
     * `hash60("<vec_id>:<seed>")` (md5-derived — reproducible on any
     * partitioning AND engine-portable, so the untrained quantizer is
     * DuckDB-oracle-checkable); iteration count is fixed (no convergence
-    * probe). Centroid means are distributed FP sums,
-    * associativity-dependent at the ~1e-13 level — immaterial for cell
-    * assignment, documented rather than hidden.
+    * probe); per-cell sums accumulate in DECIMAL(38,18), which is exact and
+    * order-independent — so the TRAINED centroids are also bit-identical
+    * across runs and partitionings (a plain double sum varies at ~1e-13
+    * with shuffle-merge order). That bit-determinism is what lets
+    * `graft.Verify` dump the trained matrix as the `{AUX}/ivf_centroids`
+    * table and the q37 oracle re-derive assignment → probing → rerank from
+    * it in DuckDB.
     */
   def kmeansCentroids(corpus: DataFrame, nlist: Int, dim: Int = 64,
                       iters: Int = 3, seed: Long = 7L): Array[Array[Double]] = {
@@ -104,15 +108,19 @@ object Similarity {
 
     for (_ <- 1 to iters) {
       val cell = cellArgmax(col("embedding"), cents)
+      // decimal(38,18) sums: exact + commutative → deterministic centroids
+      // (embedding components are O(1) floats; 20 integer digits of headroom
+      // hold ~1e19 rows per cell before overflow could null a sum)
       val aggs = count(lit(1)).as("n") +:
-        (0 until dim).map(d => sum(col("embedding").getItem(d).cast("double")).as(s"s$d"))
+        (0 until dim).map(d =>
+          sum(col("embedding").getItem(d).cast("decimal(38,18)")).as(s"s$d"))
       val stats = corpus.select(col("embedding"), cell.as("cell"))
         .groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
         .collect()
       val next = cents.map(_.clone()) // empty cells keep their old centroid
       stats.foreach { r =>
         val c = r.getInt(0); val n = r.getLong(1).toDouble
-        next(c) = Array.tabulate(dim)(d => r.getDouble(2 + d) / n)
+        next(c) = Array.tabulate(dim)(d => r.getDecimal(2 + d).doubleValue() / n)
       }
       cents = next
     }

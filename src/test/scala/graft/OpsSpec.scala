@@ -69,6 +69,35 @@ class DedupSpec extends SparkSpecBase {
     assert(dup.length == 1 && dup.head.getDouble(2) == 1.0)
   }
 
+  test("minhash60 band join shuffles ids only — no shingle arrays in its exchange") {
+    // disable auto-broadcast (tiny fixture must plan the same shuffle joins
+    // a web-scale corpus would) and AQE (so executedPlan exposes the
+    // EnsureRequirements-inserted ShuffleExchangeExec nodes directly)
+    val savedBr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Dedup.minhash60Pairs(docs, k = 3, threshold = 0.4)
+      // every exchange partitioned on the band key must carry only
+      // (band, key, doc_id) — the shingle arrays join back AFTER candidate
+      // selection, so the wide columns never ride the LSH shuffle
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      val bandExs = exchanges.filter(_.outputPartitioning.toString.contains("band"))
+      assert(bandExs.nonEmpty,
+        s"expected a shuffle on the band key; exchanges=${exchanges.map(_.outputPartitioning)}")
+      bandExs.foreach { e =>
+        assert(!e.output.exists(a => a.name == "shingles" || a.name == "sa" || a.name == "sb"),
+          s"band exchange must not carry shingle arrays: ${e.output.map(_.name)}")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBr)
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+    }
+  }
+
   test("simhash: identical docs get identical sketches; near-dups low hamming") {
     val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(0L) == sh(1L))
