@@ -14,10 +14,11 @@ import graft.synth.Transcripts
   * driver sorts columns by name and hashes values). Floating-point
   * aggregates go through decimal casts or explicit `round(…, n)` with
   * HALF_UP semantics on exact doubles (verified identical in DuckDB 1.0).
-  * Queries without an oracle entry are the non-SQL-expressible ops
-  * (xxhash64 sketches, spark.ml LSH, the transcript pipeline whose input
-  * is synthesized in-session) — the driver records rows-only checks for
-  * those; their semantics are pinned by the ScalaTest suite instead.
+  * Since round 3 EVERY query carries an oracle: the KG pipeline checks
+  * against gold aux tables from the independent generator, the trained-IVF
+  * quantizer against its dumped (bit-deterministic) centroid matrix, the
+  * sketches against md5-derived hash60 re-derivations, and the IO tier
+  * against DuckDB's own readers over committed fixture files.
   */
 object SparkEntry {
 
@@ -400,6 +401,53 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_turns"))
         .orderBy(col("prompt_origin"))
     }),
+    // --- IO tier over committed fixtures (fixtures/ in the repo) ----------
+    "q43_jsonl_sentences" -> ((s, dir) => {
+      // lenient JSONL sentence read: the invalid row (len(text)!=len(label))
+      // lands in the _valid=false group instead of failing the job
+      graft.io.Formats.readSentencesJsonl(s, s"$FixturesDir/sentences.jsonl", strict = false)
+        .groupBy(col("_valid").as("valid"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(size(col("text"))).as("sum_chars"),
+          sum(size(col("label"))).as("sum_label_chars"))
+        .orderBy(col("valid"))
+    }),
+    "q44_conll_sentences" -> ((s, dir) => {
+      graft.io.Formats.readConll(s, s"$FixturesDir/sample.conll")
+        .groupBy(col("sentence_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          concat_ws(" ", transform(
+            sort_array(collect_list(struct(col("line_no"), col("word")))),
+            x => x.getField("word"))).as("words"),
+          concat_ws(",", transform(
+            sort_array(collect_list(struct(col("line_no"), col("tag")))),
+            x => x.getField("tag"))).as("tags_csv"))
+        .orderBy(col("sentence_id"))
+    }),
+    "q45_merge_labels" -> ((s, dir) => {
+      // label-file merge preserving first-seen order (merge_json.py:17-33)
+      val merged = graft.io.Formats.mergeLabelLists(s, Seq(
+        graft.io.Formats.readTagList(s"$FixturesDir/labels_a.txt"),
+        graft.io.Formats.readTagList(s"$FixturesDir/labels_b.txt")))
+      s.createDataFrame(merged.zipWithIndex.map { case (l, i) => (i, l) })
+        .toDF("ord", "label").orderBy(col("ord"))
+    }),
+    "q46_span_chartags" -> ((s, dir) => {
+      val df = s.read
+        .schema("doc_id LONG, text STRING, spans ARRAY<STRUCT<start: INT, `end`: INT, label: STRING>>")
+        .json(s"$FixturesDir/spans.jsonl")
+      graft.io.Formats.spansToCharTags(df).orderBy(col("doc_id"), col("pos"))
+    }),
+    "q47_embedding_txt" -> ((s, dir) => {
+      // header-driven dim, space-containing words kept, short/corrupt lines
+      // dropped; vec_sum is exact (fixture values are small dyadic rationals)
+      graft.io.Formats.readEmbeddingTxt(s, s"$FixturesDir/embeddings.txt")
+        .select(col("word"),
+          round(aggregate(col("embedding"), lit(0.0d),
+            (a, x) => a + x.cast("double")), 6).as("vec_sum"))
+        .orderBy(col("word"))
+    }),
+
     "q40_ann_ivf_untrained" -> ((s, dir) => {
       // IVF with the raw seeded quantizer (kmeansIters = 0): the init hash
       // is md5-derived, so centroid election + cell assignment + probing +
@@ -411,6 +459,12 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     })
   )
+
+  /** Committed IO-tier fixture files (q43–q47 + their DuckDB oracles read
+    * the SAME files). Resolved absolute at class init — sbt/driver runs
+    * from the repo root.
+    */
+  val FixturesDir: String = new java.io.File("fixtures").getAbsolutePath
 
   /** q16b hamming cutoff (shared between the Spark query and its oracle). */
   val Q16bMaxHamming = 8
@@ -850,6 +904,73 @@ object SparkEntry {
              i -> array_to_string(list_slice(ts, i + 1, i + 4), ' ')) AS grams
            FROM (SELECT doc_id, $duckToks AS ts FROM documents))
          ORDER BY doc_id""",
+
+    // --- IO tier over the committed fixtures (read with DuckDB's own
+    //     readers: read_json / read_text — fully independent of Spark) -----
+    "q43_jsonl_sentences" ->
+      s"""SELECT (label IS NULL OR len(text) = len(label)) AS valid, COUNT(*) AS n_rows,
+         CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
+         CAST(SUM(len(label)) AS BIGINT) AS sum_label_chars
+         FROM read_json('$FixturesDir/sentences.jsonl', format='newline_delimited',
+           columns={text: 'VARCHAR[]', label: 'VARCHAR[]'})
+         GROUP BY 1 ORDER BY 1""",
+    "q44_conll_sentences" ->
+      s"""WITH raw AS (SELECT string_split(content, chr(10)) AS ls
+             FROM read_text('$FixturesDir/sample.conll')),
+         lines AS (SELECT UNNEST(range(1, len(ls)+1)) AS line_no, UNNEST(ls) AS line FROM raw),
+         seg AS (SELECT line_no, line,
+             CAST(SUM(CASE WHEN trim(line)='' THEN 1 ELSE 0 END) OVER (ORDER BY line_no
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sentence_id
+           FROM lines),
+         toks AS (SELECT sentence_id, line_no, split_part(line,' ',1) AS word,
+             split_part(line,' ',2) AS tag
+           FROM seg WHERE trim(line) <> '')
+         SELECT sentence_id, COUNT(*) AS n_tokens,
+           string_agg(word, ' ' ORDER BY line_no) AS words,
+           string_agg(tag, ',' ORDER BY line_no) AS tags_csv
+         FROM toks GROUP BY sentence_id ORDER BY sentence_id""",
+    "q45_merge_labels" ->
+      s"""WITH fa AS (SELECT string_split(content, chr(10)) AS ls
+             FROM read_text('$FixturesDir/labels_a.txt')),
+         fb AS (SELECT string_split(content, chr(10)) AS ls
+             FROM read_text('$FixturesDir/labels_b.txt')),
+         la AS (SELECT UNNEST(range(1, len(ls)+1)) AS pos, trim(UNNEST(ls)) AS label FROM fa),
+         lb AS (SELECT UNNEST(range(1, len(ls)+1)) + 1000000 AS pos, trim(UNNEST(ls)) AS label FROM fb),
+         allr AS (SELECT * FROM la UNION ALL SELECT * FROM lb),
+         firsts AS (SELECT label, MIN(pos) AS fp FROM allr WHERE label <> '' GROUP BY label)
+         SELECT CAST(row_number() OVER (ORDER BY fp) - 1 AS INT) AS ord, label
+         FROM firsts ORDER BY ord""",
+    "q46_span_chartags" ->
+      s"""WITH d AS (SELECT * FROM read_json('$FixturesDir/spans.jsonl', format='newline_delimited',
+             columns={doc_id: 'BIGINT', text: 'VARCHAR',
+                      spans: 'STRUCT("start" INT, "end" INT, label VARCHAR)[]'})),
+         chars AS (SELECT doc_id, spans,
+             CAST(UNNEST(range(0, length(text))) AS INT) AS pos,
+             UNNEST(list_transform(range(0, length(text)),
+               i -> substring(text, CAST(i+1 AS INT), 1))) AS ch
+           FROM d),
+         tagged AS (SELECT doc_id, pos, ch,
+             list_filter(spans, sp -> pos >= sp."start" AND pos < sp."end")[1] AS sp FROM chars)
+         SELECT doc_id, pos, ch,
+           CASE WHEN sp IS NULL THEN 'O'
+                WHEN sp."end" - sp."start" = 1 THEN 'S-' || sp.label
+                WHEN pos = sp."start" THEN 'B-' || sp.label
+                WHEN pos = sp."end" - 1 THEN 'E-' || sp.label
+                ELSE 'I-' || sp.label END AS tag
+         FROM tagged ORDER BY doc_id, pos""",
+    "q47_embedding_txt" ->
+      s"""WITH raw AS (SELECT string_split(content, chr(10)) AS ls
+             FROM read_text('$FixturesDir/embeddings.txt')),
+         lines AS (SELECT UNNEST(ls) AS line FROM raw),
+         nz AS (SELECT trim(line) AS line FROM lines
+           WHERE trim(line) <> '' AND NOT regexp_matches(trim(line), '^\\d+\\s+\\d+$$')),
+         parts AS (SELECT list_filter(string_split_regex(line, '\\s+'), t -> len(t) > 0) AS p FROM nz),
+         ok AS (SELECT p FROM parts WHERE len(p) >= 5
+           AND len(list_filter(p[len(p)-3:len(p)], x -> TRY_CAST(x AS REAL) IS NULL)) = 0)
+         SELECT array_to_string(p[1:len(p)-4], ' ') AS word,
+           ROUND(list_sum(list_transform(p[len(p)-3:len(p)],
+             x -> CAST(CAST(x AS REAL) AS DOUBLE))), 6) AS vec_sum
+         FROM ok ORDER BY word""",
 
     // --- gold-table cross-checks (aux tables dumped by graft.Verify from
     //     the independent generator; pipeline output must equal gold) ------

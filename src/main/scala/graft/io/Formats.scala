@@ -117,7 +117,11 @@ object Formats {
       .select(
         // word = all tokens before the trailing dim values, re-joined
         concat_ws(" ", expr(s"slice(parts, 1, size(parts) - $dim)")).as("word"),
-        expr(s"transform(slice(parts, -$dim, $dim), x -> cast(x as float))")
+        // try_cast, not cast: under ANSI mode a malformed float token would
+        // otherwise throw and kill the job — here it nulls the element and
+        // the exists(isNull) filter below drops the corrupt ROW instead
+        // (pinned by the q47 fixture oracle)
+        expr(s"transform(slice(parts, -$dim, $dim), x -> try_cast(x as float))")
           .as("embedding"))
       .filter(!exists(col("embedding"), e => e.isNull) &&
         size(col("embedding")) === dim)
