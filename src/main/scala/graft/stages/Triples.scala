@@ -1,6 +1,6 @@
 package graft.stages
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core._
@@ -17,72 +17,120 @@ import graft.core._
   *
   * Physical shape, chosen for 10^12-turn scale:
   *   - mentions are first aggregated to ONE row per (conv_id, turn_idx)
-  *     (`groupBy` on the composite key — hot conversations spread across
-  *     partitions because turn_idx is in the key; per-turn lists are bounded
-  *     by text length, so no skew or memory hazard);
+  *     (`groupBy` on the composite key — per-turn lists are bounded by text
+  *     length, so no memory hazard);
   *   - within-turn pairing is a per-row flatMap over those bounded lists —
   *     no self-join of the 10^12-row mention table;
-  *   - the cross-turn rule uses `lag` over
-  *     `Window.partitionBy(conv_id).orderBy(turn_idx)` on the *aggregated*
-  *     (one-row-per-turn) relation — the window input per conversation is
-  *     its turn count, not its mention count. For pathological
-  *     million-turn conversations the same rule is expressible as an
-  *     equi-join on (conv_id, turn_idx−1), which shuffles on the composite
-  *     key; we keep the window (stable turn ordering is an explicit
-  *     contract) and rely on window spill.
+  *   - the cross-turn rule attaches the previous turn via a CHUNKED window
+  *     (SURVEY §7.4: chunk size m ≫ rule depth k=1, overlap k): rows are
+  *     windowed per (conv_id, turn_idx div m), so the per-task buffer is
+  *     bounded by m aggregated turn rows regardless of conversation size —
+  *     a pathological million-turn conversation spreads over its chunks
+  *     instead of serializing one window task. Chunk boundaries are stitched
+  *     by duplicating ONLY the last turn of each chunk into the next chunk
+  *     as a context row (dropped after its `lag` value is consumed) — a
+  *     1/m duplication factor, and exactly zero for every conversation
+  *     shorter than m turns. The whole assembly keeps the ONE-exchange
+  *     property (plan-asserted in PlansSpec): hash(conv_id, chunk)
+  *     satisfies the (conv_id, chunk, turn_idx) aggregation, the chunk
+  *     window, and bounds skew — no routing joins, no second read of the
+  *     aggregated relation.
   */
 object Triples {
 
-  private case class TurnMentions(conv_id: String, turn_idx: Int,
-                                  ms: Seq[(Int, String, String)]) // (start, label, canon)
-
-  def run(canon: Dataset[CanonMention]): Dataset[Triple] =
-    assemble(canon, useWindow = true)
-
-  /** Scale-path variant: the cross-turn context comes from an equi-join on
-    * (conv_id, turn_idx−1) instead of a per-conversation window. Exactly
-    * equivalent for the k=1 rule (asserted in tests), and immune to the
-    * window's whole-conversation-in-one-partition requirement — the join
-    * shuffles on the composite key, so a million-turn conversation spreads
-    * across reducers. Use when conversation sizes are unbounded.
+  /** Turns per window chunk. At the default, a window task buffers at most
+    * ~64k aggregated turn rows (a few MB), every real conversation fits one
+    * chunk (zero duplication, plan identical to an unchunked window), and a
+    * 10M-turn adversarial conversation spreads across ~160 tasks.
     */
-  def runJoinBased(canon: Dataset[CanonMention]): Dataset[Triple] =
-    assemble(canon, useWindow = false)
+  val DefaultChunkTurns = 65536
 
-  private def assemble(canon: Dataset[CanonMention], useWindow: Boolean): Dataset[Triple] = {
-    val spark = canon.sparkSession
-    import spark.implicits._
-
-    val perTurn = canon
+  /** Default path: chunked-window cross-turn attachment (see class doc).
+    * Exactly equivalent to `runWindow` and `runJoinBased` on any input
+    * (equivalence-tested, including chunk sizes down to 2).
+    */
+  def run(canon: Dataset[CanonMention],
+          chunkTurns: Int = DefaultChunkTurns): Dataset[Triple] = {
+    require(chunkTurns >= 2, s"chunkTurns must be ≥ 2, got $chunkTurns")
+    val chunk = floor(col("turn_idx") / chunkTurns).cast("int")
+    val boundary = pmod(col("turn_idx"), lit(chunkTurns)) === chunkTurns - 1
+    // one pass over the mention table: every row keeps its own chunk; the
+    // last turn of a chunk is ALSO emitted into the next chunk as context
+    // (explode of a 1- or 2-element array — stays in whole-stage codegen)
+    val dup = canon
       .filter(col("canonical_id").isNotNull)
-      // ONE exchange serves both downstream operators: hash-partitioning on
-      // conv_id satisfies the aggregation's ClusteredDistribution on
-      // (conv_id, turn_idx) AND the window's (or prev-join's) on conv_id.
-      // Without it the plan pays TWO exchanges — the agg shuffles on the
-      // composite key and the window re-shuffles the aggregated rows — and
-      // collect_list partials don't compress, so the first exchange shipped
-      // the full struct volume anyway (plan-asserted in PlansSpec). Skew
-      // bound: a conversation's mentions fit one partition — the same
-      // invariant the per-conversation window already requires.
+      .withColumn("_d", explode(when(boundary,
+          array(struct(chunk.as("c"), lit(false).as("ctx")),
+                struct((chunk + 1).as("c"), lit(true).as("ctx"))))
+        .otherwise(array(struct(chunk.as("c"), lit(false).as("ctx"))))))
+      .withColumn("_chunk", col("_d.c"))
+      .withColumn("_ctx", col("_d.ctx"))
+      .drop("_d")
+    // ONE exchange serves both downstream operators: hash(conv_id, _chunk)
+    // satisfies the aggregation's ClusteredDistribution on
+    // (conv_id, _chunk, turn_idx) AND the chunk window's. Context rows form
+    // their own (conv_id, chunk+1, turn_idx) group, so _ctx is constant per
+    // group and max() just carries it through.
+    val perTurn = dup
+      .repartition(col("conv_id"), col("_chunk"))
+      .groupBy(col("conv_id"), col("_chunk"), col("turn_idx"))
+      .agg(sort_array(collect_list(struct(col("start"), col("label"),
+        col("canonical_id")))).as("ms"), max(col("_ctx")).as("_ctx"))
+    val w = Window.partitionBy(col("conv_id"), col("_chunk")).orderBy(col("turn_idx"))
+    val withPrev = perTurn
+      .withColumn("prev_idx", lag(col("turn_idx"), 1).over(w))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      // a context row's own triples are emitted by its real copy in the
+      // previous chunk; it exists only to feed the lag above
+      .filter(!col("_ctx"))
+      .select(prevCols: _*)
+    emit(withPrev)(canon.sparkSession)
+  }
+
+  /** Unchunked window variant: requires every conversation to fit one
+    * window task (zero joins, zero duplication, single exchange). Kept as
+    * the equivalence-test witness for the stable-turn-ordering contract.
+    */
+  def runWindow(canon: Dataset[CanonMention]): Dataset[Triple] =
+    emit(attachPrevWindow(aggregatePerTurn(canon)))(canon.sparkSession)
+
+  /** Join-based variant: the cross-turn context comes from an equi-join on
+    * (conv_id, turn_idx−1) instead of any window. Exactly equivalent for
+    * the k=1 rule (asserted in tests); shuffles the aggregated relation
+    * twice (both join inputs), so the chunked window is preferred — kept as
+    * the second independent witness.
+    */
+  def runJoinBased(canon: Dataset[CanonMention]): Dataset[Triple] = {
+    val perTurn = aggregatePerTurn(canon)
+    val prev = perTurn.select(col("conv_id"),
+      (col("turn_idx") + 1).as("turn_idx"),
+      col("turn_idx").as("prev_idx"), col("ms").as("prev_ms"))
+    val withPrev = perTurn.join(prev, Seq("conv_id", "turn_idx"), "left")
+      .select(prevCols: _*)
+    emit(withPrev)(canon.sparkSession)
+  }
+
+  private def aggregatePerTurn(canon: Dataset[CanonMention]): DataFrame =
+    canon
+      .filter(col("canonical_id").isNotNull)
       .repartition(col("conv_id"))
       .groupBy(col("conv_id"), col("turn_idx"))
       .agg(sort_array(collect_list(struct(col("start"), col("label"),
         col("canonical_id")))).as("ms"))
 
-    val withPrev = if (useWindow) {
-      val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
-      perTurn
-        .withColumn("prev_idx", lag(col("turn_idx"), 1).over(w))
-        .withColumn("prev_ms", lag(col("ms"), 1).over(w))
-    } else {
-      val prev = perTurn.select(col("conv_id"),
-        (col("turn_idx") + 1).as("turn_idx"),
-        col("turn_idx").as("prev_idx"), col("ms").as("prev_ms"))
-      perTurn.join(prev, Seq("conv_id", "turn_idx"), "left")
-        .select(col("conv_id"), col("turn_idx"), col("ms"),
-          col("prev_idx"), col("prev_ms"))
-    }
+  private val prevCols: Seq[Column] = Seq(col("conv_id"), col("turn_idx"),
+    col("ms"), col("prev_idx"), col("prev_ms"))
 
+  private def attachPrevWindow(perTurn: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    perTurn
+      .withColumn("prev_idx", lag(col("turn_idx"), 1).over(w))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .select(prevCols: _*)
+  }
+
+  private def emit(withPrev: DataFrame)(spark: org.apache.spark.sql.SparkSession): Dataset[Triple] = {
+    import spark.implicits._
     withPrev.flatMap { row =>
       val convId = row.getString(0)
       val turnIdx = row.getInt(1)

@@ -48,14 +48,37 @@ class PipelineSpec extends SparkSpecBase {
     assert(prf.recall == 1.0, s"recall ${prf.recall} (${prf.nMatch} matched of ${prf.nGold})")
   }
 
-  test("join-based triple assembly (scale path) is exactly equivalent to the window") {
+  test("window / join-based / auto-routed triple assembly are exactly equivalent") {
     import spark.implicits._
     val canon = result.canon.as[graft.core.CanonMention]
-    val viaWindow = Triples.run(canon)
-      .orderBy("conv_id", "turn_idx", "subj", "pred", "obj").collect().toSeq
-    val viaJoin = Triples.runJoinBased(canon)
-      .orderBy("conv_id", "turn_idx", "subj", "pred", "obj").collect().toSeq
-    assert(viaWindow == viaJoin)
+    def sorted(t: org.apache.spark.sql.Dataset[Triple]) =
+      t.orderBy("conv_id", "turn_idx", "subj", "pred", "obj").collect().toSeq
+    val viaWindow = sorted(Triples.runWindow(canon))
+    assert(sorted(Triples.runJoinBased(canon)) == viaWindow)
+    // default chunked path (every conversation fits one chunk)
+    assert(sorted(Triples.run(canon)) == viaWindow)
+    // chunk size small enough that every conversation spans many chunks —
+    // boundary context stitching must reproduce every cross-turn triple
+    assert(sorted(Triples.run(canon, chunkTurns = 3)) == viaWindow)
+    assert(sorted(Triples.run(canon, chunkTurns = 2)) == viaWindow)
+  }
+
+  test("a pathological oversized conversation spreads across chunks and matches the window") {
+    import spark.implicits._
+    // one conversation 100× over the chunk size, mixed with normal ones —
+    // the shape that serializes a single window task at web scale; sparse
+    // turns (every 3rd empty) exercise the non-adjacent-prev filtering at
+    // chunk boundaries too
+    val huge = (0 until 5000).filter(_ % 3 != 2).map(i =>
+      CanonMention("huge", i, 0, 5, "PER", "x", s"P${i % 7}", s"P${i % 7}"))
+    val normal = (0 until 60).map(i =>
+      CanonMention(s"c${i / 3}", i % 3, 0, 5, "PER", "x", s"Q$i", s"Q$i"))
+    val canon = (huge ++ normal).toDS()
+    def sorted(t: org.apache.spark.sql.Dataset[Triple]) =
+      t.orderBy("conv_id", "turn_idx", "subj", "pred", "obj").collect().toSeq
+    val chunked = sorted(Triples.run(canon, chunkTurns = 50))
+    assert(chunked == sorted(Triples.runWindow(canon)))
+    assert(chunked.exists(_.conv_id == "huge") && chunked.exists(_.conv_id == "c0"))
   }
 
   test("canonicalization resolves sibling org ids to component min") {
