@@ -19,6 +19,17 @@ import graft.core._
   */
 trait MentionTagger extends Serializable {
   def tagBatch(texts: Seq[String]): Seq[Array[String]]
+
+  /** Span-level fast path: one span list per text. The default derives
+    * spans from `tagBatch` (any seam implementation — e.g. an ONNX tag
+    * emitter — gets correct behavior for free); implementations that decode
+    * internally should override to skip the per-char tag-string
+    * materialization entirely (see `LexiconCrfTagger`).
+    */
+  def spanBatch(texts: Seq[String]): Seq[List[Span]] =
+    texts.lazyZip(tagBatch(texts)).map { (text, tags) =>
+      Tags.getEntities(tags.toIndexedSeq, text)
+    }
 }
 
 /** Deterministic lexicon-emission + CRF tagger.
@@ -41,14 +52,67 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
         lbl -> ((tagSet.indexOf(s"B-$lbl"), tagSet.indexOf(s"I-$lbl"),
           tagSet.indexOf(s"E-$lbl"), tagSet.indexOf(s"S-$lbl")))
       }.toMap
+  // per-tag-index decompositions for the span fast path: head char and type
+  // string, so span extraction never materializes or parses tag strings
+  private val headOf: Array[Char] =
+    tagSet.map(t => if (t.isEmpty) 'O' else t.charAt(0)).toArray
+  private val typeArr: Array[String] = tagSet.map(Tags.typeOf).toArray
   @transient private lazy val scratch =
     ThreadLocal.withInitial[Viterbi.Scratch](() => new Viterbi.Scratch(256, C))
 
   def tagBatch(texts: Seq[String]): Seq[Array[String]] = texts.map(tagOne)
 
+  /** Decode straight to spans from the Viterbi int path — skips the
+    * per-char tag-string array AND the string-parsing state machine of
+    * `Tags.getEntities` (the two dominant allocations of the detect hot
+    * loop at 10^12 turns). Exactly `getEntities(tagOne(text))`
+    * (equivalence-tested): same close/open rules including the virtual
+    * trailing-B sentinel; surfaces are contiguous slices because every
+    * non-O head appends its char in the reference machine.
+    */
+  override def spanBatch(texts: Seq[String]): Seq[List[Span]] = texts.map(spanOne)
+
+  def spanOne(text: String): List[Span] = {
+    val n = decodeInto(text)
+    if (n == 0) return Nil
+    val path = scratch.get().path
+    val out = scala.collection.mutable.ListBuffer.empty[Span]
+    var curLabel: String = null
+    var start = -1
+    var i = 0
+    while (i <= n) { // i == n is the virtual trailing "B-" sentinel
+      val head = if (i < n) headOf(path(i)) else 'B'
+      if (head == 'B' || head == 'O' || head == 'S') {
+        if (curLabel != null) out += Span(start, i, curLabel, text.substring(start, i))
+        curLabel = null; start = -1
+      }
+      if (i < n) {
+        if (head == 'B' || head == 'S' ||
+            ((head == 'M' || head == 'I') && curLabel == null)) {
+          curLabel = typeArr(path(i)); start = i
+        }
+      }
+      i += 1
+    }
+    out.toList
+  }
+
   def tagOne(text: String): Array[String] = {
-    val n = text.length
+    val n = decodeInto(text)
     if (n == 0) return Array.empty
+    val s = scratch.get()
+    val out = new Array[String](n)
+    var i = 0
+    while (i < n) { out(i) = tagSet(s.path(i)); i += 1 }
+    out
+  }
+
+  /** Shared hot core: trie-vote emissions + Viterbi decode into the
+    * per-thread scratch; returns the text length (path in `scratch.path`).
+    */
+  private def decodeInto(text: String): Int = {
+    val n = text.length
+    if (n == 0) return 0
     val s = scratch.get()
     s.ensure(n)
     val em = s.emissions
@@ -84,10 +148,7 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
       i += 1
     }
     Viterbi.decodeScratch(s, n, transitions)
-    val out = new Array[String](n)
-    i = 0
-    while (i < n) { out(i) = tagSet(s.path(i)); i += 1 }
-    out
+    n
   }
 
   private def vote(em: Array[Float], start: Int, word: String): Unit = {
@@ -127,12 +188,16 @@ object Detect {
       it.grouped(BatchSize).flatMap { chunk =>
         turnsIn.foreach(_.add(chunk.size))
         val sorted = chunk.sortBy(-_.text.length) // length packing
-        val tagSeqs = tg.tagBatch(sorted.map(_.text))
-        val out = sorted.iterator.zip(tagSeqs.iterator).flatMap { case (turn, tags) =>
-          Tags.getEntities(tags.toIndexedSeq, turn.text).iterator.map { sp =>
-            Mention(turn.conv_id, turn.turn_idx, sp.start, sp.end, sp.label, sp.surface)
+        val spanSeqs = tg.spanBatch(sorted.map(_.text))
+        val out = new scala.collection.mutable.ArrayBuffer[Mention]()
+        var bi = 0
+        while (bi < sorted.length) {
+          val turn = sorted(bi)
+          spanSeqs(bi).foreach { sp =>
+            out += Mention(turn.conv_id, turn.turn_idx, sp.start, sp.end, sp.label, sp.surface)
           }
-        }.toList
+          bi += 1
+        }
         mentionsOut.foreach(_.add(out.size))
         out
       }

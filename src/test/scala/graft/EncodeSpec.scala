@@ -146,3 +146,27 @@ class OnnxSeamSpec extends SparkSpecBase {
       ("c1", 1, "Globex", "ORG"), ("c1", 1, "Berlin", "LOC")))
   }
 }
+
+/** The detect hot loop's span fast path must be bit-equivalent to the
+  * string-tag reference path on every input shape the corpus produces.
+  */
+class DetectFastPathSpec extends SparkSpecBase {
+  import graft.core.{Tags, Trie}
+  import graft.stages.LexiconCrfTagger
+  import graft.synth.Transcripts
+
+  test("spanOne ≡ getEntities(tagOne) on the corpus and edge cases") {
+    val aliases = Transcripts.aliasRows
+    val tagger = new LexiconCrfTagger(Trie(aliases.map(_.surface)),
+      aliases.map(r => r.surface -> r.label).toMap, Transcripts.tagSet)
+    val texts = Transcripts.turns(spark, 80).collect().map(_.text) ++ Seq(
+      "", "x", aliases.head.surface, // exact single alias, single char
+      aliases.map(_.surface).mkString(" "), // every alias back to back
+      aliases.head.surface + aliases.head.surface) // adjacent same-entity
+    assert(texts.length > 100)
+    texts.foreach { t =>
+      val viaTags = Tags.getEntities(tagger.tagOne(t).toIndexedSeq, t)
+      assert(tagger.spanOne(t) == viaTags, s"fast path diverged on: '$t'")
+    }
+  }
+}
