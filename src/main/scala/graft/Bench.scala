@@ -75,6 +75,54 @@ object Bench {
   *
   * Usage: runMain graft.Scaling [nConvs] — writes markdown rows to stdout.
   */
+/** Adversarial-scale connected components: a long-chain graph is the
+  * round-count worst case for the alternating large/small-star loop
+  * (each round roughly squares pointer reach, so rounds ≈ log n). Builds
+  * `nChains` disjoint path graphs of `chainLen` edges each (default
+  * 10 × 1M = 10M edges over 10M+10 vertices), runs the CC loop, and prints
+  * ONE JSON line with rounds, wall seconds, and component count — plus a
+  * hard failure if the loop exhausted maxIter (the silent-warning check).
+  *
+  * Usage: runMain graft.CCBench [nChains] [chainLen] [cores]
+  */
+object CCBench {
+  def main(args: Array[String]): Unit = {
+    val nChains = if (args.length > 0) args(0).toInt else 10
+    val chainLen = if (args.length > 1) args(1).toLong else 1000000L
+    val cores = if (args.length > 2) args(2).toInt else 32
+    new java.io.File("/dev/shm/graft-spark").mkdirs()
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", "128")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    val nEdges = nChains * chainLen
+    // chain c owns vertex ids [c*(chainLen+1), (c+1)*(chainLen+1));
+    // edge i inside chain c links consecutive vertices — zero-padded string
+    // ids so lexicographic comparisons equal numeric order
+    val edges = spark.range(nEdges).select(
+      (col("id") / chainLen).cast("long").as("c"),
+      pmod(col("id"), lit(chainLen)).as("i"))
+      .select(
+        format_string("v%09d", col("c") * (chainLen + 1) + col("i")).as("src"),
+        format_string("v%09d", col("c") * (chainLen + 1) + col("i") + 1).as("dst"))
+    // tiny warmup so codegen/JIT isn't billed to the measured run
+    stages.Canon.connectedComponents(edges.limit(1000)).count()
+    val t0 = System.nanoTime()
+    val (comp, rounds, converged) = stages.Canon.connectedComponentsWithStats(edges)
+    val nComponents = comp.select("canonical_id").distinct().count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"metric":"cc_chain","edges":$nEdges,"chains":$nChains,"rounds":$rounds,"converged":$converged,"components":$nComponents,"sec":$sec%.1f}""")
+    spark.stop()
+    if (!converged || nComponents != nChains) sys.exit(1)
+  }
+}
+
 object Scaling {
   def run(cores: Int, nConvs: Long, repeats: Int = 2): (Long, Double) = {
     new java.io.File("/dev/shm/graft-spark").mkdirs()

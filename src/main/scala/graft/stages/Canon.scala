@@ -22,7 +22,17 @@ object Canon {
     * @return DataFrame(id string, canonical_id string) covering every vertex
     *         incident to an edge.
     */
-  def connectedComponents(edges0: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges0: DataFrame, maxIter: Int = 40): DataFrame =
+    connectedComponentsWithStats(edges0, maxIter)._1
+
+  /** As `connectedComponents`, additionally reporting (rounds, converged) —
+    * the evidence surface for the O(log n) claim: a chain (path graph) is
+    * the round-count worst case for alternating large/small-star, and
+    * `graft.CCBench` drives a ≥10M-edge long-chain graph through this to
+    * publish rounds/wall (BENCH.md §CC).
+    */
+  def connectedComponentsWithStats(edges0: DataFrame,
+                                   maxIter: Int = 40): (DataFrame, Int, Boolean) = {
     val spark = edges0.sparkSession
 
     // canonical direction + dedup; drop self loops
@@ -80,8 +90,10 @@ object Canon {
     }
     if (!converged)
       // surfaced, not silent: canonical ids may be wrong if the star loop
-      // ran out of rounds (log n rounds suffice in theory; maxIter=20 covers
-      // graphs far beyond any realistic same-as evidence set)
+      // ran out of rounds. Rounds ≈ ceil(log2(longest path)) + 2 — measured
+      // by CCBench: a 1M-vertex chain needs 22 (so the old default of 20
+      // silently truncated it); 40 covers chains to ~10^11 vertices, and
+      // converged loops stop early so the ceiling costs nothing.
       System.err.println(
         s"[canon] WARNING: connectedComponents exhausted maxIter=$maxIter without " +
           "checksum convergence — canonical ids may be incomplete")
@@ -89,7 +101,9 @@ object Canon {
     // after convergence every edge points (child, root); root's own row:
     val asChild = edges.select(col("dst").as("id"), col("src").as("canonical_id"))
     val roots = edges.select(col("src").as("id"), col("src").as("canonical_id"))
-    asChild.unionAll(roots).groupBy("id").agg(min("canonical_id").as("canonical_id"))
+    val comp = asChild.unionAll(roots)
+      .groupBy("id").agg(min("canonical_id").as("canonical_id"))
+    (comp, it, converged)
   }
 
   private def checksum(df: DataFrame): Array[Long] = {

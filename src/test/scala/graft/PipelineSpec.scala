@@ -166,6 +166,19 @@ class CanonSpec extends SparkSpecBase {
     assert(comp.values.toSet == Set("v000"))
     assert(comp.size == n + 1)
   }
+
+  test("512-edge chain: rounds stay within the log bound, convergence reported") {
+    import spark.implicits._
+    // the adversarial shape CCBench runs at 10M edges — pinned small here so
+    // a regression in the star loop's round complexity fails the suite
+    val n = 512
+    val edges = (0 until n).map(i => (f"v$i%04d", f"v${i + 1}%04d")).toDF("src", "dst")
+    val (comp, rounds, converged) = Canon.connectedComponentsWithStats(edges)
+    assert(converged, "chain must converge before maxIter")
+    assert(rounds <= 12, s"log-round bound violated: $rounds rounds for a $n-chain")
+    val m = comp.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m.size == n + 1 && m.values.toSet == Set("v0000"))
+  }
 }
 
 class LinkSpec extends SparkSpecBase {
