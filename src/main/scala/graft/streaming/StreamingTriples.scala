@@ -23,11 +23,18 @@ import graft.core._
   * before they reach the handler, so state is bounded by the number of
   * LIVE conversations, not all conversations ever seen.
   *
-  * Ordering contract: turns of one conversation must arrive in turn order
-  * across micro-batches (true for log-structured transcript ingestion;
-  * within a batch the handler sorts). Out-of-order arrivals beyond that
-  * need watermarked buffering upstream — documented, not needed for the
-  * append-only transcript source.
+  * Ordering contract: `assemble` (the in-order demo path) requires turns of
+  * one conversation to arrive in turn order across micro-batches.
+  * `assembleWithEviction` does NOT: it buffers per-conversation turn PER
+  * sets keyed by turn index, so a turn arriving in any order within the
+  * watermark window still links — a `follows_up` pair emits exactly once,
+  * when the later-ARRIVING side of the adjacent-turn pair lands. The only
+  * per-turn atomicity assumption kept is that one turn's mentions share a
+  * micro-batch (true for the upstream detect stage, which emits whole
+  * turns). A turn stays linkable while `ts + idleGap` is above the
+  * watermark — the same horizon as conversation-idleness eviction, now per
+  * turn — so state is bounded by live turns in the horizon, not by
+  * conversation length.
   */
 object StreamingTriples {
 
@@ -70,37 +77,99 @@ object StreamingTriples {
     (st, out)
   }
 
-  /** Production variant: event-time state eviction. Conversations whose
-    * last turn is older than the watermark get their state removed by the
-    * timeout callback; late mentions (ts below the watermark) are dropped
-    * by the watermark operator before the handler sees them.
+  /** A buffered turn: event time + the turn's PER canonical ids. */
+  final case class TurnPers(ts: Long, pers: Seq[String])
+
+  /** Per-conversation state for the eviction path: turn_idx → TurnPers for
+    * every turn still inside the linkability horizon.
+    */
+  final case class BufState(turns: Map[Int, TurnPers])
+
+  private def parseDelayMs(s: String): Long = {
+    val parts = s.trim.toLowerCase.split("\\s+")
+    require(parts.length == 2, s"expected '<n> <unit>' delay, got '$s'")
+    val unitMs = parts(1).stripSuffix("s") match {
+      case "millisecond" => 1L
+      case "second"      => 1000L
+      case "minute"      => 60000L
+      case "hour"        => 3600000L
+      case "day"         => 86400000L
+      case u             => throw new IllegalArgumentException(s"unknown delay unit '$u'")
+    }
+    parts(0).toLong * unitMs
+  }
+
+  /** Production variant: event-time state eviction + out-of-order turn
+    * arrival (see class doc). Late mentions (ts below the watermark) are
+    * dropped by the watermark operator before the handler sees them;
+    * within-watermark turns may arrive in ANY order — within-turn triples
+    * emit on arrival, and each adjacent-turn `follows_up` pair emits when
+    * its later-arriving side lands. Buffered turns are pruned (inline and
+    * by the timeout callback) once the watermark passes `ts + idleGap`; a
+    * cross-turn link whose earlier side idled past that horizon is dropped,
+    * exactly like the conversation-idle eviction it generalizes.
     *
-    * @param idleGap how long a conversation may stay silent past its last
-    *        turn's event time before its state is evicted.
+    * @param idleGap how long past its event time a turn stays linkable /
+    *        a conversation may stay silent before its state is evicted.
     */
   def assembleWithEviction(mentions: Dataset[TimedCanonMention],
                            watermark: String = "1 hour",
                            idleGap: String = "30 minutes"): Dataset[Triple] = {
     val spark = mentions.sparkSession
     import spark.implicits._
+    val idleGapMs = parseDelayMs(idleGap)
 
     mentions.withWatermark("ts", watermark)
       .groupByKey(_.conv_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout()) {
-        (convId: String, rows: Iterator[TimedCanonMention], state: GroupState[ConvState]) =>
+        (convId: String, rows: Iterator[TimedCanonMention], state: GroupState[BufState]) =>
+          def prune(turns: Map[Int, TurnPers], wm: Long): Map[Int, TurnPers] =
+            if (wm <= 0) turns else turns.filter(_._2.ts + idleGapMs > wm)
+          def rearm(turns: Map[Int, TurnPers]): Unit =
+            if (turns.nonEmpty)
+              state.setTimeoutTimestamp(turns.valuesIterator.map(_.ts).max, idleGap)
           if (state.hasTimedOut) {
-            state.remove() // idle conversation: drop its state, emit nothing
+            val kept = prune(state.getOption.map(_.turns).getOrElse(Map.empty),
+              state.getCurrentWatermarkMs())
+            if (kept.isEmpty) state.remove()
+            else { state.update(BufState(kept)); rearm(kept) }
             Iterator.empty
           } else {
-            val rowSeq = rows.toSeq
-            val (st, out) = emitGroup(convId, rowSeq.map(toCanon),
-              state.getOption.getOrElse(ConvState(-1, Nil)))
-            state.update(st)
-            // evict once the watermark passes last-event-time + idleGap
-            val maxTs = rowSeq.iterator.map(_.ts.getTime).max
-            state.setTimeoutTimestamp(maxTs, idleGap)
-            out.iterator
+            var buf = prune(state.getOption.map(_.turns).getOrElse(Map.empty),
+              state.getCurrentWatermarkMs())
+            val out = Vector.newBuilder[Triple]
+            // ascending turn order within the batch: an in-batch adjacent
+            // pair links via the prev lookup of its later turn
+            val byTurn = rows.toSeq.groupBy(_.turn_idx).toSeq.sortBy(_._1)
+            byTurn.foreach { case (turnIdx, ms0) =>
+              val ts = ms0.iterator.map(_.ts.getTime).max
+              val ms = ms0.sortBy(_.start).map(m => (m.start, m.label, m.canonical_id))
+              val pers = ms.filter(_._2 == "PER").map(_._3)
+              val orgs = ms.filter(_._2 == "ORG")
+              val locs = ms.filter(_._2 == "LOC")
+              val within =
+                (for (p <- pers; o <- orgs) yield Triple(p, "affiliated_with", o._3, convId, turnIdx)) ++
+                (for (i <- ms.indices; j <- ms.indices; if i < j;
+                      if ms(i)._2 == "PER" && ms(j)._2 == "PER" && ms(i)._3 != ms(j)._3)
+                  yield Triple(ms(i)._3, "mentions_with", ms(j)._3, convId, turnIdx)) ++
+                (for (o <- orgs; l <- locs) yield Triple(o._3, "located_in", l._3, convId, turnIdx))
+              out ++= within.distinct
+              // link to the previous turn if it has already arrived …
+              buf.get(turnIdx - 1).foreach { prev =>
+                out ++= (for (p <- pers; q <- prev.pers; if p != q)
+                  yield Triple(p, "follows_up", q, convId, turnIdx)).distinct
+              }
+              // … and to an out-of-order next turn that arrived earlier
+              buf.get(turnIdx + 1).foreach { nxt =>
+                out ++= (for (p <- nxt.pers; q <- pers; if p != q)
+                  yield Triple(p, "follows_up", q, convId, turnIdx + 1)).distinct
+              }
+              buf += turnIdx -> TurnPers(ts, pers)
+            }
+            state.update(BufState(buf))
+            rearm(buf)
+            out.result().iterator
           }
       }
   }

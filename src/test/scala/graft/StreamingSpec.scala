@@ -134,6 +134,39 @@ class StreamingTriplesSpec extends SparkSpecBase {
       s"evicted conversation A still emitted follows_up: $got")
   }
 
+  test("out-of-order turns within the watermark still assemble (matches batch)") {
+    import java.sql.Timestamp
+    import graft.streaming.StreamingTriples.TimedCanonMention
+    implicit val sqlCtx = spark.sqlContext
+    def tcm(turn: Int, start: Int, label: String, canon: String) =
+      TimedCanonMention("A", turn, start, start + 3, label, "xxx", canon, canon,
+        Timestamp.valueOf(f"2024-01-01 10:$turn%02d:00"))
+    val turns = Map(
+      0 -> Seq(tcm(0, 0, "PER", "PER00"), tcm(0, 10, "ORG", "ORG00a")),
+      1 -> Seq(tcm(1, 0, "PER", "PER01")),
+      2 -> Seq(tcm(2, 0, "PER", "PER02"), tcm(2, 10, "PER", "PER02b")),
+      3 -> Seq(tcm(3, 0, "PER", "PER03")))
+    val src = MemoryStream[TimedCanonMention]
+    val q = graft.streaming.StreamingTriples.assembleWithEviction(src.toDS(),
+        watermark = "30 minutes", idleGap = "30 minutes")
+      .writeStream.format("memory").queryName("ooo_out").outputMode("append").start()
+    // whole turns arrive SHUFFLED across micro-batches: 2, 0, 3, 1 — every
+    // arrival stays within the watermark window
+    Seq(2, 0, 3, 1).foreach { t => src.addData(turns(t)); q.processAllAvailable() }
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))
+    val streamed = spark.sql("SELECT subj, pred, obj, turn_idx FROM ooo_out")
+      .collect().map(key).sorted.toSeq
+    val batchInput = turns.values.flatten.toSeq
+      .map(t => CanonMention(t.conv_id, t.turn_idx, t.start, t.end, t.label,
+        t.surface, t.entity_id, t.canonical_id)).toDS()
+    val batch = graft.stages.Triples.run(batchInput).toDF()
+      .select("subj", "pred", "obj", "turn_idx").collect().map(key).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"out-of-order stream diverged from batch:\n  stream=$streamed\n  batch=$batch")
+  }
+
   test("streaming triples equal batch triples on a full replayed corpus") {
     implicit val sqlCtx = spark.sqlContext
     val r = graft.stages.Pipeline.run(spark, 25)
