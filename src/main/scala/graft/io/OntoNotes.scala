@@ -128,17 +128,34 @@ object OntoNotes {
   /** Assign splits: train for ordinary files; eval/test files alternate by
     * the global sentence ordinal (odd → eval, even → test, `:89`), ordered
     * by (file, sentence_idx).
+    *
+    * The global ordinal is computed WITHOUT a global-window sort (which
+    * would serialize on one task): `sentence_idx` is dense per file by
+    * `toSentences` construction, so ordinal = file offset + sentence_idx +
+    * 1, where offsets are the cumulative per-file counts in lexicographic
+    * file order. The per-file counts are a distributed aggregate; the
+    * cumulative sum runs on the driver over the eval/test FILE LIST — ≤403
+    * entries by construction (`chtb_0001–0325` ∪ `chtb_1001–1078`) — and
+    * rejoins as a broadcast.
     */
   def withSplit(sentences: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("file"), col("sentence_idx"))
+    val spark = sentences.sparkSession
+    import spark.implicits._
     val evalTest = sentences.filter(isEvalTestUdf(col("file")))
-      .withColumn("_ord", row_number().over(w))
+    val counts = evalTest.groupBy("file").agg(count(lit(1)).as("_cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (f, c)) => (f, acc + c) }
+      .sliding(2).collect { case Array((_, off), (f, _)) => (f, off) }.toSeq
+    val withOrd = if (offsets.isEmpty) evalTest.withColumn("_ord", lit(1L))
+      else evalTest.join(broadcast(offsets.toDF("file", "_off")), "file")
+        .withColumn("_ord", col("_off") + col("sentence_idx") + 1)
+    val split = withOrd
       .withColumn("split",
         when(pmod(col("_ord"), lit(2)) === 1, "eval").otherwise("test"))
-      .drop("_ord")
+      .drop("_ord", "_off")
     val train = sentences.filter(!isEvalTestUdf(col("file")))
       .withColumn("split", lit("train"))
-    evalTest.unionByName(train)
+    split.unionByName(train)
   }
   private val isEvalTestUdf = udf(isEvalTestFile _)
 

@@ -94,15 +94,25 @@ class FormatsSpec extends SparkSpecBase {
     // eval/test file: 3 sentences → ordinals 1,2,3 → eval,test,eval
     write("chtb_0001.name",
       "<DOC><ENAMEX TYPE=\"LOC\">奥斯陆</ENAMEX>甲\n乙\n丙</DOC>")
+    // second eval/test file: the GLOBAL ordinal must continue across files
+    // (ordinals 4,5 → test,eval) — pins the distributed two-pass offset
+    write("chtb_0002.name", "<DOC><ENAMEX TYPE=\"GPE\">挪威</ENAMEX>戊\n己</DOC>")
     // train file
     write("vom_0099.name", "<DOC><ENAMEX TYPE=\"ORG\">微软</ENAMEX>丁</DOC>")
     val parsed = OntoNotes.readNameFiles(spark, s"$dir/*.name")
-    val withSplit = OntoNotes.withSplit(parsed)
+    val splitDf = OntoNotes.withSplit(parsed)
+    // the global ordinal must NOT come from a global-window sort: no
+    // single-partition exchange anywhere in the plan
+    assert(!splitDf.queryExecution.executedPlan.toString.contains("SinglePartition"),
+      "withSplit must not plan a single-partition global sort")
+    val withSplit = splitDf
       .select("file", "sentence_idx", "split").collect()
       .map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
     assert(withSplit(("chtb_0001.name", 0)) == "eval")
     assert(withSplit(("chtb_0001.name", 1)) == "test")
     assert(withSplit(("chtb_0001.name", 2)) == "eval")
+    assert(withSplit(("chtb_0002.name", 0)) == "test")
+    assert(withSplit(("chtb_0002.name", 1)) == "eval")
     assert(withSplit(("vom_0099.name", 0)) == "train")
     val loc = OntoNotes.readNameFiles(spark, s"$dir/chtb_0001.name")
       .filter(col("sentence_idx") === 0).select("label").head().getSeq[String](0)
