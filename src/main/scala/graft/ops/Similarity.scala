@@ -107,7 +107,7 @@ object Similarity {
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
 
     for (_ <- 1 to iters) {
-      val cell = cellArgmax(col("embedding"), cents)
+      val cell = cellAssigner(corpus.sparkSession, cents)(col("embedding"))
       // decimal(38,18) sums: exact + commutative → deterministic centroids
       // (embedding components are O(1) floats; 20 integer digits of headroom
       // hold ~1e19 rows per cell before overflow could null a sum)
@@ -127,15 +127,56 @@ object Similarity {
     cents
   }
 
-  /** argmax over centroid dots (native codegen'd float×double dot),
-    * deterministic tie-break on the lower cell index.
+  /** Parameter envelope for the expression-based cell assignment: each cell
+    * adds one `vec_dot` + struct to ONE projection, so the expression tree
+    * (and its codegen'd method) grows linearly with `nlist` — measured fine
+    * through a few hundred cells, but at nlist ≫ 512 the tree itself
+    * becomes the bottleneck (planning time + codegen method-size limits
+    * force interpreted fallback). Above this threshold cell assignment
+    * switches to `cellArgmaxLoop`: a plain JIT'd argmax loop over a
+    * broadcast centroid matrix — O(1) expression size at any nlist, same
+    * result (equivalence-tested, including tie-breaks).
     */
-  private def cellArgmax(v: Column, cents: Array[Array[Double]]): Column =
+  val MaxExprCells = 512
+
+  /** argmax over centroid dots (native codegen'd float×double dot),
+    * deterministic tie-break on the lower cell index. Expression path —
+    * see `MaxExprCells` for the envelope.
+    */
+  private[graft] def cellArgmaxExpr(v: Column, cents: Array[Array[Double]]): Column =
     greatest(cents.zipWithIndex.map { case (cv, i) =>
       // negate the index inside the struct comparison so equal scores pick
       // the SMALLEST index (struct greatest compares fields left-to-right)
       struct(vec_dot(v, typedLit(cv.toSeq)).as("s"), lit(-i).as("negi"))
     }: _*).getField("negi") * lit(-1)
+
+  /** Loop path for nlist > MaxExprCells: one UDF over a BROADCAST centroid
+    * matrix (task closures would re-ship the matrix per task; at
+    * nlist=65536 × dim=64 that is ~32 MB). Strict `>` keeps the first
+    * (smallest) index on ties — identical to the expression tie-break.
+    */
+  private[graft] def cellArgmaxLoop(spark: org.apache.spark.sql.SparkSession,
+                                    cents: Array[Array[Double]]): Column => Column = {
+    val bc = spark.sparkContext.broadcast(cents)
+    val f = udf((emb: Seq[Float]) => {
+      val cs = bc.value
+      var best = 0; var bestS = Double.NegativeInfinity
+      var i = 0
+      while (i < cs.length) {
+        val c = cs(i); var s = 0.0; var d = 0
+        while (d < c.length) { s += emb(d) * c(d); d += 1 }
+        if (s > bestS) { bestS = s; best = i }
+        i += 1
+      }
+      best
+    })
+    v => f(v)
+  }
+
+  private def cellAssigner(spark: org.apache.spark.sql.SparkSession,
+                           cents: Array[Array[Double]]): Column => Column =
+    if (cents.length <= MaxExprCells) v => cellArgmaxExpr(v, cents)
+    else cellArgmaxLoop(spark, cents)
 
   /** IVF ANN top-k with a trained (seeded, fixed-iteration Lloyd) coarse
     * quantizer: every corpus vector is assigned to its nearest centroid
@@ -150,22 +191,42 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 2, dim: Int = 64,
-              kmeansIters: Int = 2, minScore: Double = -1.0): DataFrame = {
+              kmeansIters: Int = 2, minScore: Double = -1.0,
+              maxExprCells: Int = MaxExprCells): DataFrame = {
     val cents = kmeansCentroids(corpus, nlist, dim, kmeansIters)
-    val centLit = cents.zipWithIndex.map { case (v, i) => (i, typedLit(v.toSeq)) }
+    def assigner(v: Column): Column =
+      if (cents.length <= maxExprCells) cellArgmaxExpr(v, cents)
+      else cellArgmaxLoop(corpus.sparkSession, cents)(v)
 
     val cellCorpus = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("cv"), cellArgmax(col("embedding"), cents).as("cell"))
+      col("embedding").as("cv"), assigner(col("embedding")).as("cell"))
 
-    // query → nprobe nearest cells: explode the per-query top-nprobe cells
-    val qScored = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("qv"),
-      sort_array(array(centLit.map { case (cid, cv) =>
-        struct(vec_dot(col("embedding"), cv).as("s"), lit(cid).as("cid"))
-      }: _*), asc = false).as("cells"))
-    val qProbes = qScored.select(col("query_id"), col("qv"),
-      explode(slice(col("cells"), 1, nprobe)).as("probe"))
-      .select(col("query_id"), col("qv"), col("probe.cid").as("cell"))
+    // query → nprobe nearest cells: explode the per-query top-nprobe cells.
+    // Same nlist envelope as cell assignment (see MaxExprCells): the
+    // expression path builds an nlist-wide struct array in one projection;
+    // above the threshold a broadcast-matrix UDF returns the probe list.
+    val qProbes = (if (nlist <= maxExprCells) {
+      val centLit = cents.zipWithIndex.map { case (v, i) => (i, typedLit(v.toSeq)) }
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(slice(sort_array(array(centLit.map { case (cid, cv) =>
+          struct(vec_dot(col("embedding"), cv).as("s"), lit(cid).as("cid"))
+        }: _*), asc = false), 1, nprobe)).as("probe"))
+        .select(col("query_id"), col("qv"), col("probe.cid").as("cell"))
+    } else {
+      val bc = queries.sparkSession.sparkContext.broadcast(cents)
+      val topCells = udf((emb: Seq[Float]) => {
+        val cs = bc.value
+        cs.indices.map { i =>
+          val c = cs(i); var s = 0.0; var d = 0
+          while (d < c.length) { s += emb(d) * c(d); d += 1 }
+          (s, i)
+        // scores desc, then cid desc — identical to sort_array(desc) over
+        // struct(s, cid) in the expression path
+        }.sortBy { case (s, i) => (-s, -i) }.take(nprobe).map(_._2)
+      })
+      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        explode(topCells(col("embedding"))).as("cell"))
+    })
 
     val scored = cellCorpus.join(broadcast(qProbes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -269,6 +269,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(full.toSet == bf.toSet)
   }
 
+  test("IVF nlist envelope: loop path (nlist > maxExprCells) ≡ expression path, incl. ties") {
+    val vs = (0 until 200).map(i => (i.toLong, vec(i)))
+    val emb = vs.toDF("vec_id", "embedding")
+    val expr = Similarity.ivfTopK(emb.filter($"vec_id" < 5), emb, 3,
+      nlist = 8, nprobe = 3).collect().map(_.toString).sorted.toSeq
+    // force the broadcast-matrix UDF path for BOTH cell assignment and
+    // query probing — must be row-identical to the expression path
+    val loop = Similarity.ivfTopK(emb.filter($"vec_id" < 5), emb, 3,
+      nlist = 8, nprobe = 3, maxExprCells = 0).collect().map(_.toString).sorted.toSeq
+    assert(expr == loop, s"nlist-envelope paths diverged:\n$expr\nvs\n$loop")
+    // duplicate centroids: both paths must tie-break to the SMALLEST cell
+    val cents = Array(Array.fill(4)(1.0), Array.fill(4)(1.0), Array.fill(4)(-1.0))
+    val one = Seq((1L, Array.fill(4)(0.5f))).toDF("vec_id", "embedding")
+    assert(one.select(Similarity.cellArgmaxExpr($"embedding", cents)).head.getInt(0) == 0)
+    assert(one.select(Similarity.cellArgmaxLoop(spark, cents)($"embedding")).head.getInt(0) == 0)
+  }
+
   test("trained (k-means) IVF quantizer: recall@3 ≥ 0.9 at nprobe=4 on clustered data") {
     // IVF's contract is clusterABLE data; i.i.d. gaussian vectors are its
     // adversarial case (neighbors spread uniformly over cells — recall there
