@@ -169,4 +169,26 @@ class DetectFastPathSpec extends SparkSpecBase {
       assert(tagger.spanOne(t) == viaTags, s"fast path diverged on: '$t'")
     }
   }
+
+  test("property: spanOne ≡ getEntities(tagOne) on random alias/noise mixtures") {
+    val aliases = Transcripts.aliasRows
+    val tagger = new LexiconCrfTagger(Trie(aliases.map(_.surface)),
+      aliases.map(r => r.surface -> r.label).toMap, Transcripts.tagSet)
+    val surfaces = aliases.map(_.surface).toIndexedSeq
+    val rnd = new scala.util.Random(4242)
+    (1 to 300).foreach { trial =>
+      val sb = new StringBuilder
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 => sb.append(surfaces(rnd.nextInt(surfaces.length)))
+          case 1 => sb.append((0 until rnd.nextInt(6)).map(_ =>
+            ('a' + rnd.nextInt(26)).toChar).mkString)
+          case _ => sb.append(' ')
+        }
+      }
+      val t = sb.result()
+      val viaTags = Tags.getEntities(tagger.tagOne(t).toIndexedSeq, t)
+      assert(tagger.spanOne(t) == viaTags, s"trial $trial diverged on: '$t'")
+    }
+  }
 }

@@ -63,6 +63,34 @@ class PipelineSpec extends SparkSpecBase {
     assert(sorted(Triples.run(canon, chunkTurns = 2)) == viaWindow)
   }
 
+  test("property: chunked ≡ window ≡ join on random sparse corpora × random chunk sizes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1337)
+    val labels = Array("PER", "ORG", "LOC")
+    for (trial <- 1 to 4) {
+      val nConvs = 1 + rnd.nextInt(6)
+      val canon = (0 until nConvs).flatMap { c =>
+        val nTurns = 1 + rnd.nextInt(40)
+        (0 until nTurns).flatMap { t =>
+          // ~1/3 of turns empty → exercises non-adjacent prev filtering
+          if (rnd.nextInt(3) == 0) Nil
+          else (0 until 1 + rnd.nextInt(3)).map { m =>
+            val lbl = labels(rnd.nextInt(3))
+            CanonMention(s"conv$c", t, m * 10, m * 10 + 3, lbl, "x",
+              s"$lbl${rnd.nextInt(5)}", s"$lbl${rnd.nextInt(5)}")
+          }
+        }
+      }.toDS()
+      def sorted(t: org.apache.spark.sql.Dataset[Triple]) =
+        t.orderBy("conv_id", "turn_idx", "subj", "pred", "obj").collect().toSeq
+      val viaWindow = sorted(Triples.runWindow(canon))
+      val chunk = Seq(2, 3, 5, 17)(rnd.nextInt(4))
+      assert(sorted(Triples.run(canon, chunkTurns = chunk)) == viaWindow,
+        s"trial $trial chunkTurns=$chunk diverged")
+      assert(sorted(Triples.runJoinBased(canon)) == viaWindow, s"trial $trial join diverged")
+    }
+  }
+
   test("a pathological oversized conversation spreads across chunks and matches the window") {
     import spark.implicits._
     // one conversation 100× over the chunk size, mixed with normal ones —
