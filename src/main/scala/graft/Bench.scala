@@ -139,6 +139,10 @@ object Scaling {
       // which caps the high-core leg on I/O instead of CPU (a real cluster
       // node's NVMe wouldn't); we measure CPU scaling, not VM disk
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      // shuffle/checkpoint codec, env-tunable for A/B (BENCH.md records the
+      // measured choice for this membus-bound workload)
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
