@@ -385,7 +385,8 @@ object SparkEntry {
     }),
     "q42_minhash_native_pairs" -> ((s, dir) => {
       // from-scratch MinHash+LSH on hash60 (engine-portable, full oracle;
-      // q15 keeps the spark.ml variant, rows-only)
+      // q15 runs the same machinery at a second operating point — the old
+      // spark.ml variant stays test-pinned only, see q15's note)
       Dedup.minhash60Pairs(tbl(s, dir, "documents"), k = 3, numPerms = 8,
         rowsPerBand = 2, threshold = 0.4)
         .orderBy(col("a"), col("b"))
@@ -451,8 +452,10 @@ object SparkEntry {
     "q40_ann_ivf_untrained" -> ((s, dir) => {
       // IVF with the raw seeded quantizer (kmeansIters = 0): the init hash
       // is md5-derived, so centroid election + cell assignment + probing +
-      // rerank are all re-derivable in DuckDB — the only IVF variant with
-      // an exact oracle (q37 keeps the trained quantizer, rows-only)
+      // rerank are all re-derivable in DuckDB from scratch. q37 (trained
+      // quantizer) is also exactly oracled since round 3 — its oracle reads
+      // the bit-deterministic trained matrix from {AUX}/ivf_centroids
+      // instead of re-deriving the init
       val emb = tbl(s, dir, "embeddings")
       Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb, k = 3,
         nlist = 16, nprobe = 3, kmeansIters = 0)

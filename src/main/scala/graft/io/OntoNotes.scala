@@ -141,7 +141,13 @@ object OntoNotes {
   def withSplit(sentences: DataFrame): DataFrame = {
     val spark = sentences.sparkSession
     import spark.implicits._
-    val evalTest = sentences.filter(isEvalTestUdf(col("file")))
+    // eager localCheckpoint: the eval/test slice feeds TWO consumers (the
+    // counts collect below and the returned join) — without it the XML
+    // parse of every eval/test file would run twice. Bounded by the ≤403
+    // eval/test files; the checkpoint blocks are reclaimed once the
+    // returned plan is GC'd. (The two-pass ordinal inherently makes
+    // withSplit launch a job at call time.)
+    val evalTest = sentences.filter(isEvalTestUdf(col("file"))).localCheckpoint(true)
     val counts = evalTest.groupBy("file").agg(count(lit(1)).as("_cnt"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (f, c)) => (f, acc + c) }

@@ -98,7 +98,8 @@ object Similarity {
     * it in DuckDB.
     */
   def kmeansCentroids(corpus: DataFrame, nlist: Int, dim: Int = 64,
-                      iters: Int = 3, seed: Long = 7L): Array[Array[Double]] = {
+                      iters: Int = 3, seed: Long = 7L,
+                      maxExprCells: Int = MaxExprCells): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = corpus
       .select(col("vec_id"), col("embedding"))
       .withColumn("_h", TextAnalysis.hash60(
@@ -107,7 +108,14 @@ object Similarity {
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
 
     for (_ <- 1 to iters) {
-      val cell = cellAssigner(corpus.sparkSession, cents)(col("embedding"))
+      // each iteration's centroid matrix is new; the loop-path broadcast is
+      // destroyed right after the iteration's one action completes (no
+      // accumulation of dead broadcast blocks over Lloyd iterations)
+      val bcIter =
+        if (cents.length <= maxExprCells) None
+        else Some(corpus.sparkSession.sparkContext.broadcast(cents))
+      val cell = bcIter.map(cellArgmaxLoop)
+        .getOrElse((v: Column) => cellArgmaxExpr(v, cents))(col("embedding"))
       // decimal(38,18) sums: exact + commutative → deterministic centroids
       // (embedding components are O(1) floats; 20 integer digits of headroom
       // hold ~1e19 rows per cell before overflow could null a sum)
@@ -117,6 +125,7 @@ object Similarity {
       val stats = corpus.select(col("embedding"), cell.as("cell"))
         .groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
         .collect()
+      bcIter.foreach(_.destroy())
       val next = cents.map(_.clone()) // empty cells keep their old centroid
       stats.foreach { r =>
         val c = r.getInt(0); val n = r.getLong(1).toDouble
@@ -154,10 +163,11 @@ object Similarity {
     * matrix (task closures would re-ship the matrix per task; at
     * nlist=65536 × dim=64 that is ~32 MB). Strict `>` keeps the first
     * (smallest) index on ties — identical to the expression tie-break.
+    * Takes the broadcast handle so one handle serves every consumer in a
+    * plan (caller owns the lifecycle; destroy only after the last action).
     */
-  private[graft] def cellArgmaxLoop(spark: org.apache.spark.sql.SparkSession,
-                                    cents: Array[Array[Double]]): Column => Column = {
-    val bc = spark.sparkContext.broadcast(cents)
+  private[graft] def cellArgmaxLoop(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): Column => Column = {
     val f = udf((emb: Seq[Float]) => {
       val cs = bc.value
       var best = 0; var bestS = Double.NegativeInfinity
@@ -173,10 +183,9 @@ object Similarity {
     v => f(v)
   }
 
-  private def cellAssigner(spark: org.apache.spark.sql.SparkSession,
-                           cents: Array[Array[Double]]): Column => Column =
-    if (cents.length <= MaxExprCells) v => cellArgmaxExpr(v, cents)
-    else cellArgmaxLoop(spark, cents)
+  private[graft] def cellArgmaxLoop(spark: org.apache.spark.sql.SparkSession,
+                                    cents: Array[Array[Double]]): Column => Column =
+    cellArgmaxLoop(spark.sparkContext.broadcast(cents))
 
   /** IVF ANN top-k with a trained (seeded, fixed-iteration Lloyd) coarse
     * quantizer: every corpus vector is assigned to its nearest centroid
@@ -193,39 +202,50 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 2, dim: Int = 64,
               kmeansIters: Int = 2, minScore: Double = -1.0,
               maxExprCells: Int = MaxExprCells): DataFrame = {
-    val cents = kmeansCentroids(corpus, nlist, dim, kmeansIters)
-    def assigner(v: Column): Column =
-      if (cents.length <= maxExprCells) cellArgmaxExpr(v, cents)
-      else cellArgmaxLoop(corpus.sparkSession, cents)(v)
+    val cents = kmeansCentroids(corpus, nlist, dim, kmeansIters,
+      maxExprCells = maxExprCells)
+    // the envelope is keyed on cents.length EVERYWHERE (assignment, probing,
+    // and training above): with corpus cardinality < nlist the trained
+    // matrix can be smaller than nlist, and a mixed keying would send the
+    // two halves of one query down different paths. ONE broadcast handle
+    // serves both loop-path consumers; it lives as long as the returned
+    // plan (the ContextCleaner reclaims it when the plan is GC'd).
+    val loopBc =
+      if (cents.length <= maxExprCells) None
+      else Some(corpus.sparkSession.sparkContext.broadcast(cents))
+    def assigner(v: Column): Column = loopBc match {
+      case Some(bc) => cellArgmaxLoop(bc)(v)
+      case None     => cellArgmaxExpr(v, cents)
+    }
 
     val cellCorpus = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("cv"), assigner(col("embedding")).as("cell"))
 
     // query → nprobe nearest cells: explode the per-query top-nprobe cells.
-    // Same nlist envelope as cell assignment (see MaxExprCells): the
-    // expression path builds an nlist-wide struct array in one projection;
-    // above the threshold a broadcast-matrix UDF returns the probe list.
-    val qProbes = (if (nlist <= maxExprCells) {
-      val centLit = cents.zipWithIndex.map { case (v, i) => (i, typedLit(v.toSeq)) }
-      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(slice(sort_array(array(centLit.map { case (cid, cv) =>
-          struct(vec_dot(col("embedding"), cv).as("s"), lit(cid).as("cid"))
-        }: _*), asc = false), 1, nprobe)).as("probe"))
-        .select(col("query_id"), col("qv"), col("probe.cid").as("cell"))
-    } else {
-      val bc = queries.sparkSession.sparkContext.broadcast(cents)
-      val topCells = udf((emb: Seq[Float]) => {
-        val cs = bc.value
-        cs.indices.map { i =>
-          val c = cs(i); var s = 0.0; var d = 0
-          while (d < c.length) { s += emb(d) * c(d); d += 1 }
-          (s, i)
-        // scores desc, then cid desc — identical to sort_array(desc) over
-        // struct(s, cid) in the expression path
-        }.sortBy { case (s, i) => (-s, -i) }.take(nprobe).map(_._2)
-      })
-      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        explode(topCells(col("embedding"))).as("cell"))
+    // Same envelope as cell assignment (see MaxExprCells): the expression
+    // path builds a cents.length-wide struct array in one projection; above
+    // the threshold the shared broadcast-matrix UDF returns the probe list.
+    val qProbes = (loopBc match {
+      case None =>
+        val centLit = cents.zipWithIndex.map { case (v, i) => (i, typedLit(v.toSeq)) }
+        queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          explode(slice(sort_array(array(centLit.map { case (cid, cv) =>
+            struct(vec_dot(col("embedding"), cv).as("s"), lit(cid).as("cid"))
+          }: _*), asc = false), 1, nprobe)).as("probe"))
+          .select(col("query_id"), col("qv"), col("probe.cid").as("cell"))
+      case Some(bc) =>
+        val topCells = udf((emb: Seq[Float]) => {
+          val cs = bc.value
+          cs.indices.map { i =>
+            val c = cs(i); var s = 0.0; var d = 0
+            while (d < c.length) { s += emb(d) * c(d); d += 1 }
+            (s, i)
+          // scores desc, then cid desc — identical to sort_array(desc) over
+          // struct(s, cid) in the expression path
+          }.sortBy { case (s, i) => (-s, -i) }.take(nprobe).map(_._2)
+        })
+        queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          explode(topCells(col("embedding"))).as("cell"))
     })
 
     val scored = cellCorpus.join(broadcast(qProbes), Seq("cell"))

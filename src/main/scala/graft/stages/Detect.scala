@@ -65,10 +65,13 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
   /** Decode straight to spans from the Viterbi int path — skips the
     * per-char tag-string array AND the string-parsing state machine of
     * `Tags.getEntities` (the two dominant allocations of the detect hot
-    * loop at 10^12 turns). Exactly `getEntities(tagOne(text))`
-    * (equivalence-tested): same close/open rules including the virtual
-    * trailing-B sentinel; surfaces are contiguous slices because every
-    * non-O head appends its char in the reference machine.
+    * loop at 10^12 turns). STRUCTURALLY exactly `getEntities(tagOne(text))`
+    * for any decode path (equivalence-tested): the state machine below
+    * mirrors label.py's close/open/append rules verbatim — including the
+    * virtual trailing-B sentinel AND the ungrammatical-sequence quirk where
+    * a dangling E/I char appends to the word buffer before a later M opens
+    * a span — so equivalence does not depend on the CRF transition matrix
+    * keeping decode paths BMES-grammatical.
     */
   override def spanBatch(texts: Seq[String]): Seq[List[Span]] = texts.map(spanOne)
 
@@ -77,20 +80,24 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
     if (n == 0) return Nil
     val path = scratch.get().path
     val out = scala.collection.mutable.ListBuffer.empty[Span]
+    val word = new java.lang.StringBuilder
     var curLabel: String = null
     var start = -1
     var i = 0
     while (i <= n) { // i == n is the virtual trailing "B-" sentinel
       val head = if (i < n) headOf(path(i)) else 'B'
       if (head == 'B' || head == 'O' || head == 'S') {
-        if (curLabel != null) out += Span(start, i, curLabel, text.substring(start, i))
-        curLabel = null; start = -1
+        if (curLabel != null) out += Span(start, i, curLabel, word.toString)
+        word.setLength(0); curLabel = null; start = -1
       }
       if (i < n) {
         if (head == 'B' || head == 'S' ||
             ((head == 'M' || head == 'I') && curLabel == null)) {
           curLabel = typeArr(path(i)); start = i
         }
+        // reference machine appends EVERY non-O char — even a dangling
+        // E/I before any span opens (label.py:33-43)
+        if (head != 'O') word.append(text.charAt(i))
       }
       i += 1
     }

@@ -144,17 +144,9 @@ object Triples {
           .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
       else Seq.empty
 
-      val pers = ms.filter(_._2 == "PER")
-      val orgsM = ms.filter(_._2 == "ORG")
-      val locs = ms.filter(_._2 == "LOC")
-      val within =
-        (for (p <- pers; o <- orgsM) yield Triple(p._3, "affiliated_with", o._3, convId, turnIdx)) ++
-        (for (i <- ms.indices; j <- ms.indices; if i < j;
-              if ms(i)._2 == "PER" && ms(j)._2 == "PER" && ms(i)._3 != ms(j)._3)
-          yield Triple(ms(i)._3, "mentions_with", ms(j)._3, convId, turnIdx)) ++
-        (for (o <- orgsM; l <- locs) yield Triple(o._3, "located_in", l._3, convId, turnIdx))
-      val cross = for (p <- pers.map(_._3); q <- prev.filter(_._2 == "PER").map(_._3); if p != q)
-        yield Triple(p, "follows_up", q, convId, turnIdx)
+      val within = withinTurnTriples(convId, turnIdx, ms)
+      val cross = followUps(convId, turnIdx,
+        ms.filter(_._2 == "PER").map(_._3), prev.filter(_._2 == "PER").map(_._3))
       // duplicates can only arise within this one turn's output (the triple
       // key embeds conv_id+turn_idx), so a local per-row dedup is exactly
       // equivalent to a global distinct() — and saves a full shuffle of the
@@ -162,6 +154,28 @@ object Triples {
       (within ++ cross).distinct.iterator
     }
   }
+
+  /** Within-turn rule body — the ONE source of truth shared by the batch
+    * emit above and both streaming paths (`StreamingTriples`). `ms` is the
+    * turn's (start, label, canonical_id) list sorted by start.
+    */
+  private[graft] def withinTurnTriples(convId: String, turnIdx: Int,
+      ms: Seq[(Int, String, String)]): Seq[Triple] = {
+    val pers = ms.filter(_._2 == "PER")
+    val orgs = ms.filter(_._2 == "ORG")
+    val locs = ms.filter(_._2 == "LOC")
+    (for (p <- pers; o <- orgs) yield Triple(p._3, "affiliated_with", o._3, convId, turnIdx)) ++
+    (for (i <- ms.indices; j <- ms.indices; if i < j;
+          if ms(i)._2 == "PER" && ms(j)._2 == "PER" && ms(i)._3 != ms(j)._3)
+      yield Triple(ms(i)._3, "mentions_with", ms(j)._3, convId, turnIdx)) ++
+    (for (o <- orgs; l <- locs) yield Triple(o._3, "located_in", l._3, convId, turnIdx))
+  }
+
+  /** Cross-turn (k=1) rule body, shared like `withinTurnTriples`. */
+  private[graft] def followUps(convId: String, turnIdx: Int,
+      pers: Seq[String], prevPers: Seq[String]): Seq[Triple] =
+    for (p <- pers; q <- prevPers; if p != q)
+      yield Triple(p, "follows_up", q, convId, turnIdx)
 
   /** Per-conversation triple counts with **two-phase salted aggregation**:
     * partial count on (conv_id, salt) spreads a hot conversation over S

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.core._
+import graft.stages.Triples
 
 /** Incremental triple assembly over a mention stream with
   * `flatMapGroupsWithState` — per-conversation custom state (the
@@ -50,28 +51,22 @@ object StreamingTriples {
     CanonMention(t.conv_id, t.turn_idx, t.start, t.end, t.label, t.surface,
       t.entity_id, t.canonical_id)
 
-  /** Shared per-group rule body (same triple rules as the batch stage). */
+  /** Shared per-group rule body (delegates to the batch stage's single
+    * source of truth, `Triples.withinTurnTriples`/`followUps`).
+    */
   private def emitGroup(convId: String, rows: Seq[CanonMention],
                         st0: ConvState): (ConvState, Vector[Triple]) = {
     val byTurn = rows.groupBy(_.turn_idx).toSeq.sortBy(_._1)
     var st = st0
     val out = byTurn.iterator.flatMap { case (turnIdx, ms0) =>
       val ms = ms0.sortBy(_.start).map(m => (m.start, m.label, m.canonical_id))
-      val pers = ms.filter(_._2 == "PER")
-      val orgs = ms.filter(_._2 == "ORG")
-      val locs = ms.filter(_._2 == "LOC")
-      val within =
-        (for (p <- pers; o <- orgs) yield Triple(p._3, "affiliated_with", o._3, convId, turnIdx)) ++
-        (for (i <- ms.indices; j <- ms.indices; if i < j;
-              if ms(i)._2 == "PER" && ms(j)._2 == "PER" && ms(i)._3 != ms(j)._3)
-          yield Triple(ms(i)._3, "mentions_with", ms(j)._3, convId, turnIdx)) ++
-        (for (o <- orgs; l <- locs) yield Triple(o._3, "located_in", l._3, convId, turnIdx))
+      val pers = ms.filter(_._2 == "PER").map(_._3)
+      val within = Triples.withinTurnTriples(convId, turnIdx, ms)
       val cross =
         if (st.lastTurnIdx == turnIdx - 1)
-          for (p <- pers.map(_._3); q <- st.lastPers; if p != q)
-            yield Triple(p, "follows_up", q, convId, turnIdx)
+          Triples.followUps(convId, turnIdx, pers, st.lastPers)
         else Nil
-      st = ConvState(turnIdx, pers.map(_._3))
+      st = ConvState(turnIdx, pers)
       (within ++ cross).distinct.iterator
     }.toVector
     (st, out)
@@ -85,18 +80,16 @@ object StreamingTriples {
     */
   final case class BufState(turns: Map[Int, TurnPers])
 
+  /** Delay string → milliseconds via Spark's OWN interval parser, so every
+    * form `withWatermark`/`setTimeoutTimestamp` accept ("90 seconds",
+    * "1 hour 30 minutes", "2 weeks") parses identically here. Month-based
+    * intervals are rejected — they have no fixed millisecond length.
+    */
   private def parseDelayMs(s: String): Long = {
-    val parts = s.trim.toLowerCase.split("\\s+")
-    require(parts.length == 2, s"expected '<n> <unit>' delay, got '$s'")
-    val unitMs = parts(1).stripSuffix("s") match {
-      case "millisecond" => 1L
-      case "second"      => 1000L
-      case "minute"      => 60000L
-      case "hour"        => 3600000L
-      case "day"         => 86400000L
-      case u             => throw new IllegalArgumentException(s"unknown delay unit '$u'")
-    }
-    parts(0).toLong * unitMs
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv.months == 0, s"month-based delay '$s' has no fixed ms length")
+    iv.days * 86400000L + iv.microseconds / 1000L
   }
 
   /** Production variant: event-time state eviction + out-of-order turn
@@ -146,24 +139,14 @@ object StreamingTriples {
               val ts = ms0.iterator.map(_.ts.getTime).max
               val ms = ms0.sortBy(_.start).map(m => (m.start, m.label, m.canonical_id))
               val pers = ms.filter(_._2 == "PER").map(_._3)
-              val orgs = ms.filter(_._2 == "ORG")
-              val locs = ms.filter(_._2 == "LOC")
-              val within =
-                (for (p <- pers; o <- orgs) yield Triple(p, "affiliated_with", o._3, convId, turnIdx)) ++
-                (for (i <- ms.indices; j <- ms.indices; if i < j;
-                      if ms(i)._2 == "PER" && ms(j)._2 == "PER" && ms(i)._3 != ms(j)._3)
-                  yield Triple(ms(i)._3, "mentions_with", ms(j)._3, convId, turnIdx)) ++
-                (for (o <- orgs; l <- locs) yield Triple(o._3, "located_in", l._3, convId, turnIdx))
-              out ++= within.distinct
+              out ++= Triples.withinTurnTriples(convId, turnIdx, ms).distinct
               // link to the previous turn if it has already arrived …
               buf.get(turnIdx - 1).foreach { prev =>
-                out ++= (for (p <- pers; q <- prev.pers; if p != q)
-                  yield Triple(p, "follows_up", q, convId, turnIdx)).distinct
+                out ++= Triples.followUps(convId, turnIdx, pers, prev.pers).distinct
               }
               // … and to an out-of-order next turn that arrived earlier
               buf.get(turnIdx + 1).foreach { nxt =>
-                out ++= (for (p <- nxt.pers; q <- pers; if p != q)
-                  yield Triple(p, "follows_up", q, convId, turnIdx + 1)).distinct
+                out ++= Triples.followUps(convId, turnIdx + 1, nxt.pers, pers).distinct
               }
               buf += turnIdx -> TurnPers(ts, pers)
             }

@@ -147,8 +147,10 @@ class StreamingTriplesSpec extends SparkSpecBase {
       2 -> Seq(tcm(2, 0, "PER", "PER02"), tcm(2, 10, "PER", "PER02b")),
       3 -> Seq(tcm(3, 0, "PER", "PER03")))
     val src = MemoryStream[TimedCanonMention]
+    // compound interval: idleGap must accept every form Spark's own
+    // watermark parser does (pins the delay-parsing contract)
     val q = graft.streaming.StreamingTriples.assembleWithEviction(src.toDS(),
-        watermark = "30 minutes", idleGap = "30 minutes")
+        watermark = "30 minutes", idleGap = "1 hour 30 minutes")
       .writeStream.format("memory").queryName("ooo_out").outputMode("append").start()
     // whole turns arrive SHUFFLED across micro-batches: 2, 0, 3, 1 — every
     // arrival stays within the watermark window
