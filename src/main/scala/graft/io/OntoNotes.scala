@@ -148,8 +148,18 @@ object OntoNotes {
     // returned plan is GC'd. (The two-pass ordinal inherently makes
     // withSplit launch a job at call time.)
     val evalTest = sentences.filter(isEvalTestUdf(col("file"))).localCheckpoint(true)
-    val counts = evalTest.groupBy("file").agg(count(lit(1)).as("_cnt"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val stats = evalTest.groupBy("file")
+      .agg(count(lit(1)).as("_cnt"), max(col("sentence_idx")).as("_mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // the offset formula requires dense 0-based sentence_idx per file (true
+    // for readNameFiles output); a filtered/subsetted input would silently
+    // flip eval/test assignments after the first gap — fail loudly instead
+    stats.foreach { case (f, cnt, mx) =>
+      require(cnt == mx + 1,
+        s"withSplit needs dense 0-based sentence_idx per file: '$f' has " +
+          s"$cnt sentences but max idx $mx — renumber (e.g. row_number per file) first")
+    }
+    val counts = stats.map { case (f, cnt, _) => (f, cnt) }.sortBy(_._1)
     val offsets = counts.scanLeft(("", 0L)) { case ((_, acc), (f, c)) => (f, acc + c) }
       .sliding(2).collect { case Array((_, off), (f, _)) => (f, off) }.toSeq
     val withOrd = if (offsets.isEmpty) evalTest.withColumn("_ord", lit(1L))

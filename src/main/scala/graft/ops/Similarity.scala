@@ -152,12 +152,15 @@ object Similarity {
     * deterministic tie-break on the lower cell index. Expression path —
     * see `MaxExprCells` for the envelope.
     */
-  private[graft] def cellArgmaxExpr(v: Column, cents: Array[Array[Double]]): Column =
-    greatest(cents.zipWithIndex.map { case (cv, i) =>
+  private[graft] def cellArgmaxExpr(v: Column, cents: Array[Array[Double]]): Column = {
+    require(cents.nonEmpty, "cell assignment needs at least one centroid")
+    if (cents.length == 1) lit(0) // greatest() requires ≥ 2 arguments
+    else greatest(cents.zipWithIndex.map { case (cv, i) =>
       // negate the index inside the struct comparison so equal scores pick
       // the SMALLEST index (struct greatest compares fields left-to-right)
       struct(vec_dot(v, typedLit(cv.toSeq)).as("s"), lit(-i).as("negi"))
     }: _*).getField("negi") * lit(-1)
+  }
 
   /** Loop path for nlist > MaxExprCells: one UDF over a BROADCAST centroid
     * matrix (task closures would re-ship the matrix per task; at
@@ -173,19 +176,22 @@ object Similarity {
       var best = 0; var bestS = Double.NegativeInfinity
       var i = 0
       while (i < cs.length) {
-        val c = cs(i); var s = 0.0; var d = 0
-        while (d < c.length) { s += emb(d) * c(d); d += 1 }
-        if (s > bestS) { bestS = s; best = i }
+        val c = cs(i)
+        // common-prefix dot on ragged inputs — FloatVecDot's documented
+        // semantics, so both envelope paths agree
+        val len = math.min(emb.length, c.length)
+        var s = 0.0; var d = 0
+        while (d < len) { s += emb(d) * c(d); d += 1 }
+        // Double.compare ordering (NaN greatest) — identical to the SQL
+        // struct comparison in the expression path; ties keep the first
+        // (smallest) index
+        if (java.lang.Double.compare(s, bestS) > 0) { bestS = s; best = i }
         i += 1
       }
       best
     })
     v => f(v)
   }
-
-  private[graft] def cellArgmaxLoop(spark: org.apache.spark.sql.SparkSession,
-                                    cents: Array[Array[Double]]): Column => Column =
-    cellArgmaxLoop(spark.sparkContext.broadcast(cents))
 
   /** IVF ANN top-k with a trained (seeded, fixed-iteration Lloyd) coarse
     * quantizer: every corpus vector is assigned to its nearest centroid
@@ -234,15 +240,38 @@ object Similarity {
           }: _*), asc = false), 1, nprobe)).as("probe"))
           .select(col("query_id"), col("qv"), col("probe.cid").as("cell"))
       case Some(bc) =>
+        // bounded top-nprobe selection (no full nlist-sized sort or boxed
+        // tuples per row). Ordering matches the expression path's
+        // sort_array(desc) over struct(s, cid) EXACTLY: scores desc under
+        // Double.compare (NaN greatest), ties → larger cid first.
         val topCells = udf((emb: Seq[Float]) => {
           val cs = bc.value
-          cs.indices.map { i =>
-            val c = cs(i); var s = 0.0; var d = 0
-            while (d < c.length) { s += emb(d) * c(d); d += 1 }
-            (s, i)
-          // scores desc, then cid desc — identical to sort_array(desc) over
-          // struct(s, cid) in the expression path
-          }.sortBy { case (s, i) => (-s, -i) }.take(nprobe).map(_._2)
+          val kSel = math.min(nprobe, cs.length)
+          val ts = new Array[Double](kSel)
+          val ti = new Array[Int](kSel)
+          var filled = 0
+          def better(s1: Double, i1: Int, s2: Double, i2: Int): Boolean = {
+            val c = java.lang.Double.compare(s1, s2)
+            c > 0 || (c == 0 && i1 > i2)
+          }
+          var i = 0
+          while (i < cs.length) {
+            val c = cs(i)
+            val len = math.min(emb.length, c.length) // common-prefix dot
+            var s = 0.0; var d = 0
+            while (d < len) { s += emb(d) * c(d); d += 1 }
+            if (filled < kSel || better(s, i, ts(filled - 1), ti(filled - 1))) {
+              var p = if (filled < kSel) { filled += 1; filled - 1 } else kSel - 1
+              ts(p) = s; ti(p) = i
+              while (p > 0 && better(ts(p), ti(p), ts(p - 1), ti(p - 1))) {
+                val s0 = ts(p - 1); val i0 = ti(p - 1)
+                ts(p - 1) = ts(p); ti(p - 1) = ti(p); ts(p) = s0; ti(p) = i0
+                p -= 1
+              }
+            }
+            i += 1
+          }
+          (0 until filled).map(ti(_))
         })
         queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"),
           explode(topCells(col("embedding"))).as("cell"))

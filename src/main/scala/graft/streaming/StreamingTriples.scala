@@ -123,10 +123,10 @@ object StreamingTriples {
             if (turns.nonEmpty)
               state.setTimeoutTimestamp(turns.valuesIterator.map(_.ts).max, idleGap)
           if (state.hasTimedOut) {
-            val kept = prune(state.getOption.map(_.turns).getOrElse(Map.empty),
-              state.getCurrentWatermarkMs())
-            if (kept.isEmpty) state.remove()
-            else { state.update(BufState(kept)); rearm(kept) }
+            // the timer is always armed at max(buffered ts) + idleGap, so
+            // when it fires EVERY buffered turn is past its linkability
+            // horizon (ts + idleGap ≤ maxTs + idleGap < wm) — drop it all
+            state.remove()
             Iterator.empty
           } else {
             var buf = prune(state.getOption.map(_.turns).getOrElse(Map.empty),

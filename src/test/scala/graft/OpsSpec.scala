@@ -283,7 +283,12 @@ class SimilaritySpec extends SparkSpecBase {
     val cents = Array(Array.fill(4)(1.0), Array.fill(4)(1.0), Array.fill(4)(-1.0))
     val one = Seq((1L, Array.fill(4)(0.5f))).toDF("vec_id", "embedding")
     assert(one.select(Similarity.cellArgmaxExpr($"embedding", cents)).head.getInt(0) == 0)
-    assert(one.select(Similarity.cellArgmaxLoop(spark, cents)($"embedding")).head.getInt(0) == 0)
+    val bc = spark.sparkContext.broadcast(cents)
+    try assert(one.select(Similarity.cellArgmaxLoop(bc)($"embedding")).head.getInt(0) == 0)
+    finally bc.destroy()
+    // single-centroid envelope: greatest() needs ≥2 args — must not throw
+    val oneCent = Array(Array.fill(4)(1.0))
+    assert(one.select(Similarity.cellArgmaxExpr($"embedding", oneCent)).head.getInt(0) == 0)
   }
 
   test("trained (k-means) IVF quantizer: recall@3 ≥ 0.9 at nprobe=4 on clustered data") {
