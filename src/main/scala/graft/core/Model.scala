@@ -70,9 +70,7 @@ final case class Triple(
   */
 final case class AliasRow(surface: String, entity_id: String, label: String)
 
-/** Per-stage, per-partition counter row (north_rule lineage/metrics). */
-final case class StageMetric(
-    stage: String,
-    partition_id: Int,
-    counter: String,
-    value: Long)
+// Per-stage, per-partition lineage rows live in the parquet metrics table
+// written by io.SnapshotIO (stage, snapshot, partition_id, rows) — there is
+// deliberately no case-class mirror here; SnapshotIO.metrics returns the
+// DataFrame directly.

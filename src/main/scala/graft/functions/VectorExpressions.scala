@@ -115,5 +115,17 @@ object VectorExpressions {
   /** Register `vec_dot` for SQL use in a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => FloatVecDot(exprs.head, exprs(1)), "built-in")
+      "vec_dot",
+      exprs => {
+        // surface wrong arity as a proper analysis error, not an
+        // IndexOutOfBoundsException from the builder
+        if (exprs.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map("functionName" -> "`vec_dot`",
+              "expectedNum" -> "2", "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+        FloatVecDot(exprs.head, exprs(1))
+      },
+      "built-in")
 }

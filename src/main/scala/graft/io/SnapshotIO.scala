@@ -30,7 +30,16 @@ object SnapshotIO {
 
   /** Run `compute` unless a committed snapshot for `inputHash` already
     * exists; either way return the snapshot-backed DataFrame. `counters`
-    * are evaluated only on compute (they land in the manifest for lineage).
+    * are evaluated only on compute, AFTER the snapshot write (so
+    * accumulator-backed counters carry the write action's totals — they
+    * land in the manifest for lineage).
+    *
+    * Concurrency contract: one writer per (base, stage, inputHash). Each
+    * attempt writes to its OWN uuid-suffixed `_tmp_` dir (two racing
+    * writers can no longer interleave rows in a shared tmp), and losing
+    * the final rename race is treated as "committed by the other writer" —
+    * but a concurrent orphan SWEEP can still delete a peer's in-flight tmp,
+    * which fails that peer loudly (never corrupts the committed snapshot).
     */
   def resumeOrCompute(spark: SparkSession, base: String, stage: String,
                       inputHash: String,
@@ -38,16 +47,22 @@ object SnapshotIO {
                      (compute: => DataFrame): DataFrame = {
     val dir = snapshotDir(base, stage, inputHash)
     if (!isCommitted(base, stage, inputHash)) {
-      val tmp = dir.getParent.resolve(s"_tmp_${dir.getFileName}")
-      deleteRecursively(tmp)
+      // sweep crash orphans from previous attempts (any uuid)
+      sweepTmp(dir)
+      val tmp = dir.getParent.resolve(
+        s"_tmp_${dir.getFileName}_${java.util.UUID.randomUUID().toString.take(8)}")
       val df = compute
       df.write.mode("overwrite").parquet(tmp.toString)
-      // per-partition lineage counters over the committed snapshot
-      // (north_rule: every stage writes per-partition counters): one row per
-      // stored partition, plus the aggregate in the manifest
-      import org.apache.spark.sql.functions.{col, count, lit, spark_partition_id}
+      // per-FILE lineage counters over the snapshot as STORED (north_rule:
+      // every stage writes per-partition counters). input_file_name groups
+      // by the durable written file — immune to read-time split packing
+      // (maxPartitionBytes bin-packing / large-file splitting), which made
+      // spark_partition_id() of the read-back reflect reader config, not
+      // the stage's stored layout.
+      import org.apache.spark.sql.functions.{col, count, input_file_name, lit, regexp_extract}
       val partCounts = spark.read.parquet(tmp.toString)
-        .groupBy(spark_partition_id().as("partition_id"))
+        .groupBy(regexp_extract(input_file_name(), "part-(\\d+)", 1)
+          .cast("int").as("partition_id"))
         .agg(count(lit(1)).as("rows"))
         .withColumn("stage", lit(stage))
         .withColumn("snapshot", lit(inputHash))
@@ -60,19 +75,41 @@ object SnapshotIO {
       partCounts.unpersist()
       deleteRecursively(dir)
       Files.createDirectories(dir.getParent)
-      Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-      val counterJson = (counters + ("rows" -> rows))
-        .map { case (k, v) => s""""$k":$v""" }.mkString(",")
-      val manifest =
-        s"""{"stage":"$stage","input_hash":"$inputHash","rows":$rows,
-           |"committed_at":"${java.time.Instant.now()}","counters":{$counterJson}}"""
-          .stripMargin.replace("\n", "")
-      // manifest last = commit point
-      Files.write(dir.resolve("_manifest.json"),
-        manifest.getBytes(StandardCharsets.UTF_8))
+      val won =
+        try { Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.DirectoryNotEmptyException =>
+            deleteRecursively(tmp) // a concurrent writer committed first
+            false
+        }
+      if (won) {
+        val counterJson = (counters + ("rows" -> rows))
+          .map { case (k, v) => s""""$k":$v""" }.mkString(",")
+        val manifest =
+          s"""{"stage":"$stage","input_hash":"$inputHash","rows":$rows,
+             |"committed_at":"${java.time.Instant.now()}","counters":{$counterJson}}"""
+            .stripMargin.replace("\n", "")
+        // manifest last = commit point
+        Files.write(dir.resolve("_manifest.json"),
+          manifest.getBytes(StandardCharsets.UTF_8))
+      }
     }
     spark.read.parquet(dir.toString)
   }
+
+  /** Delete every `_tmp_<snapshot dirname>*` orphan beside `dir`. */
+  private def sweepTmp(dir: Path): Unit =
+    if (Files.exists(dir.getParent)) {
+      val prefix = s"_tmp_${dir.getFileName}"
+      val ls = Files.list(dir.getParent)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith(prefix))
+          .foreach(deleteRecursively)
+      } finally ls.close()
+    }
 
   /** All lineage rows recorded under `base` (stage, snapshot, partition_id,
     * rows) — the queryable metrics table.
@@ -94,6 +131,8 @@ object SnapshotIO {
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val walk = Files.walk(p) // stream holds directory handles — must close
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
     }
 }

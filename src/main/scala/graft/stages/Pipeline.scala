@@ -38,10 +38,16 @@ object Pipeline {
       Canon.run(linked.as[LinkedMention], Transcripts.sameAs.toDF("src", "dst")).toDF()
     lazy val triples: DataFrame = {
       val t = Triples.run(canon.as[CanonMention]).toDF()
-      if (persistTriples) t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else t
+      if (persistTriples) {
+        val p = t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        triplesPersisted = true
+        p
+      } else t
     }
-    val metrics: Seq[StageMetric] = Nil
+    @volatile private var triplesPersisted = false
+    /** Drop this Result's persisted triples (no-op if never materialized). */
+    private[stages] def release(): Unit =
+      if (triplesPersisted) triples.unpersist(false)
   }
 
   // Memoized per (session, nConvs, seed): the synthesized corpus is
@@ -54,7 +60,14 @@ object Pipeline {
   // documented WeakHashMap caveat. Entries are therefore evicted EXPLICITLY
   // by an application-end listener registered per session below.
   private val memo =
-    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[(Long, Long), Result]]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.LinkedHashMap[(Long, Long), Result]]()
+
+  /** Distinct (nConvs, seed) Results memoized per session before the
+    * least-recently-INSERTED one is evicted (and its persisted triples
+    * dropped) — bounds block-manager growth when one session touches many
+    * corpus sizes.
+    */
+  val MaxMemoPerSession = 8
 
   /** Pure in-memory run (no snapshot layer) — used by queries and bench.
     * @param memoize pass false for timing runs that must not share plan/cache
@@ -68,7 +81,7 @@ object Pipeline {
     val perSession = memo.synchronized {
       var m = memo.get(spark)
       if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty
+        m = scala.collection.mutable.LinkedHashMap.empty
         memo.put(spark, m)
         // drop the session's memoized Results (and their persisted triples)
         // as soon as the session stops — see the eviction note on `memo`
@@ -80,27 +93,50 @@ object Pipeline {
       }
       m
     }
-    perSession.getOrElseUpdate((nConvs, seed), new Result(spark, nConvs, seed))
+    perSession.synchronized {
+      perSession.getOrElseUpdate((nConvs, seed), {
+        if (perSession.size >= MaxMemoPerSession) {
+          val (k0, r0) = perSession.head
+          perSession.remove(k0)
+          r0.release()
+        }
+        new Result(spark, nConvs, seed)
+      })
+    }
   }
 
   /** Snapshot-committed run rooted at `workDir`; a rerun after a crash (or a
     * plain rerun) skips every stage whose snapshot is already committed —
     * byte-identical outputs by construction (content-addressed inputs,
     * deterministic stages).
+    *
+    * Staleness contract: snapshots are keyed by INPUT identity
+    * (nConvs, seed) — not by code content. After upgrading the library (or
+    * changing dictionaries) against an existing `workDir`, pass a new
+    * `version` (it is folded into the snapshot key) or clear the workDir;
+    * otherwise resume will faithfully serve the previous code's committed
+    * outputs.
     */
   def runWithSnapshots(spark: SparkSession, nConvs: Long, workDir: String,
-                       seed: Long = 42L): DataFrame = {
+                       seed: Long = 42L, version: String = ""): DataFrame = {
     import spark.implicits._
-    val inputKey = s"n${nConvs}_s$seed"
+    val inputKey = s"n${nConvs}_s$seed" +
+      (if (version.isEmpty) "" else s"_v$version")
 
     val turnsDf = SnapshotIO.resumeOrCompute(spark, workDir, "transcripts", inputKey) {
       Transcripts.turns(spark, nConvs, seed).toDF()
     }
     val turns = turnsDf.as[Turn]
 
-    val mentions = SnapshotIO.resumeOrCompute(spark, workDir, "mentions", inputKey) {
+    // detect's per-executor counters land in the stage manifest: `counters`
+    // is by-name and read AFTER the snapshot write, so the accumulators
+    // carry the write action's totals
+    val turnsIn = spark.sparkContext.longAccumulator("detect_turns_in")
+    val mentionsOut = spark.sparkContext.longAccumulator("detect_mentions_out")
+    val mentions = SnapshotIO.resumeOrCompute(spark, workDir, "mentions", inputKey,
+      counters = Map("turns_in" -> turnsIn.value, "mentions_out" -> mentionsOut.value)) {
       val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
-      Detect.run(turns, tagger).toDF()
+      Detect.run(turns, tagger, Some(turnsIn), Some(mentionsOut)).toDF()
     }
 
     val linked = SnapshotIO.resumeOrCompute(spark, workDir, "linked", inputKey) {
@@ -137,30 +173,36 @@ object Eval {
   def prf(pred: DataFrame, gold: DataFrame, keys: Seq[String]): Prf = {
     val p = pred.select(keys.map(col): _*).distinct().cache()
     val g = gold.select(keys.map(col): _*).distinct().cache()
-    val nPred = p.count(); val nGold = g.count()
-    val nMatch = p.join(g, keys, "inner").count()
-    val prec = if (nPred == 0) 0.0 else nMatch.toDouble / nPred
-    val rec = if (nGold == 0) 0.0 else nMatch.toDouble / nGold
-    val f1 = if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)
-    p.unpersist(); g.unpersist()
-    Prf(prec, rec, f1, nPred, nGold, nMatch)
+    try {
+      val nPred = p.count(); val nGold = g.count()
+      val nMatch = p.join(g, keys, "inner").count()
+      val prec = if (nPred == 0) 0.0 else nMatch.toDouble / nPred
+      val rec = if (nGold == 0) 0.0 else nMatch.toDouble / nGold
+      val f1 = if (prec + rec == 0) 0.0 else 2 * prec * rec / (prec + rec)
+      Prf(prec, rec, f1, nPred, nGold, nMatch)
+    } finally { p.unpersist(); g.unpersist() } // no leak when an action throws
   }
 
   val spanKeys = Seq("conv_id", "turn_idx", "start", "end", "label")
   val tripleKeys = Seq("subj", "pred", "obj", "conv_id", "turn_idx")
 
   /** Per-type classification report (`CC/trainer.py:243-246` /
-    * `origin_bert.py:140-141` analog): per-label P/R/F1 plus a micro total
-    * row (label = null), via `rollup` over the match/pred/gold counts.
+    * `origin_bert.py:140-141` analog): per-`typeCol` P/R/F1 plus a micro
+    * total row (type = null), via `rollup` over the match/pred/gold counts.
+    * Works for any key set that carries the type column (e.g.
+    * `tripleKeys` with `typeCol = "pred"` gives a per-predicate report).
     */
   def perTypeReport(pred: DataFrame, gold: DataFrame,
-                    keys: Seq[String] = spanKeys): DataFrame = {
+                    keys: Seq[String] = spanKeys,
+                    typeCol: String = "label"): DataFrame = {
+    require(keys.contains(typeCol),
+      s"perTypeReport groups by '$typeCol', which must be one of the keys $keys")
     val p = pred.select(keys.map(col): _*).distinct()
     val g = gold.select(keys.map(col): _*).distinct()
     val joinKeys = keys
     val both = p.withColumn("in_pred", lit(1))
       .join(g.withColumn("in_gold", lit(1)), joinKeys, "full_outer")
-      .select(col("label"),
+      .select(col(typeCol).as("label"),
         coalesce(col("in_pred"), lit(0)).as("in_pred"),
         coalesce(col("in_gold"), lit(0)).as("in_gold"))
     both.rollup(col("label"))

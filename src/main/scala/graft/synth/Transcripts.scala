@@ -134,8 +134,13 @@ object Transcripts {
       last = pos + 1
     }
     sb.append(tpl.substring(last))
-    val role = roles(draw(roles.length, seed, convIdx, turnIdx, 3L))
-    val tool = if (role == "tool") tools(1 + draw(tools.length - 1, seed, convIdx, turnIdx, 4L)) else null
+    // salts 101/102: DISJOINT from the slot-entity salt space (2L + slotI).
+    // The old salts 3L/4L collided with slots 1/2 — `draw` hashes only
+    // (seed, conv, turn, salt), so the role shared its hash with the 2nd
+    // slot's entity draw and, 3 dividing 12, role == personIdx % 3 — a
+    // deterministic correlation between fields documented as independent.
+    val role = roles(draw(roles.length, seed, convIdx, turnIdx, 101L))
+    val tool = if (role == "tool") tools(1 + draw(tools.length - 1, seed, convIdx, turnIdx, 102L)) else null
     val ts = new Timestamp(baseTs + convIdx * 3600000L + turnIdx * 30000L)
     (Turn(convId, turnIdx, role, sb.result(), tool, ts), golds.reverse)
   }

@@ -215,6 +215,31 @@ class MetricsSpec extends SparkSpecBase {
       SnapshotIO.snapshotDir(dir, "triples",
         "n20_s42").toString).count()
     assert(triplesTotal == actual)
+    // detect's accumulator counters land in the mentions manifest (read
+    // after the write action, so they carry the stage's real totals)
+    val manifest = java.nio.file.Files.readString(
+      SnapshotIO.snapshotDir(dir, "mentions", "n20_s42").resolve("_manifest.json"))
+    val turnsIn = """"turns_in":(\d+)""".r.findFirstMatchIn(manifest).map(_.group(1).toLong)
+    val mentionsOut = """"mentions_out":(\d+)""".r.findFirstMatchIn(manifest).map(_.group(1).toLong)
+    val nTurns = spark.read.parquet(
+      SnapshotIO.snapshotDir(dir, "transcripts", "n20_s42").toString).count()
+    assert(turnsIn.contains(nTurns), s"turns_in=$turnsIn != $nTurns in $manifest")
+    assert(mentionsOut.exists(_ > 0), s"mentions_out missing in $manifest")
+    // a distinct `version` forces a fresh snapshot key (staleness contract)
+    Pipeline.runWithSnapshots(spark, 20, dir, version = "2").count()
+    assert(SnapshotIO.isCommitted(dir, "triples", "n20_s42_v2"))
     SnapshotIO.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("per-type report generalizes to any type column (per-predicate over triples)") {
+    val r = Pipeline.run(spark, 20)
+    val rep = graft.stages.Eval.perTypeReport(r.triples, r.triples,
+      graft.stages.Eval.tripleKeys, typeCol = "pred").collect()
+    assert(rep.length > 1) // per-predicate rows + micro total
+    assert(rep.forall(_.getDouble(rep.head.fieldIndex("f1")) == 1.0)) // self vs self
+    intercept[IllegalArgumentException] {
+      graft.stages.Eval.perTypeReport(r.triples, r.triples,
+        graft.stages.Eval.tripleKeys, typeCol = "nope")
+    }
   }
 }

@@ -99,4 +99,13 @@ class VectorExprSpec extends SparkSpecBase {
       df.select(VectorExpressions.vec_dot(col("s"), col("s"))).collect()
     }
   }
+
+  test("SQL wrong arity is a proper analysis error, not an index crash") {
+    VectorExpressions.register(spark)
+    vecs.toDF("vec_id", "embedding").createOrReplaceTempView("ve_arity")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot(embedding) FROM ve_arity").collect()
+    }
+    assert(e.getMessage.contains("vec_dot"))
+  }
 }
