@@ -30,12 +30,21 @@ object Formats {
     */
   def readSentencesJsonl(spark: SparkSession, path: String,
                          strict: Boolean = false): DataFrame = {
-    val df = spark.read.schema(sentenceSchema).json(path)
+    // explicit corrupt-record column: without it a malformed JSON line
+    // parses to an all-null row that `label IS NULL` would wave through as
+    // "valid prediction row"; and text.isNotNull first so the length
+    // comparison can never go three-valued-null past the filter
+    val df = spark.read.schema(sentenceSchema.add("_corrupt", StringType))
+      .option("columnNameOfCorruptRecord", "_corrupt").json(path)
     val checked = df.withColumn("_valid",
-      col("label").isNull || size(col("text")) === size(col("label")))
+      coalesce(col("_corrupt").isNull && col("text").isNotNull &&
+        (col("label").isNull || size(col("text")) === size(col("label"))),
+        lit(false)))
+      .drop("_corrupt")
     if (strict) {
       checked.filter(!col("_valid")).limit(1).collect().foreach { _ =>
-        throw new IllegalArgumentException("len(text) != len(label) in " + path)
+        throw new IllegalArgumentException(
+          "invalid sentence row (malformed JSON, null text, or len(text) != len(label)) in " + path)
       }
       checked.drop("_valid")
     } else checked
@@ -103,14 +112,27 @@ object Formats {
                        maxScan: Int = -1, dim0: Int = -1): DataFrame = {
     val raw0 = spark.read.textFile(path)
     val raw = if (maxScan > 0) raw0.limit(maxScan + 1) else raw0
-    // header probe: tiny dimension input, one driver-side first() is fine
-    lazy val first = raw.first().trim.split("\\s+")
+    // header probe: tiny dimension input, one driver-side single-row
+    // collect is fine (empty-file safe, unlike first())
+    val firstLine = raw.limit(1).collect().headOption
+    val firstToks = firstLine.map(_.trim.split("\\s+")).getOrElse(Array.empty[String])
+    val headerLooking = firstToks.length == 2 && firstToks.forall(_.matches("\\d+"))
     val dim =
       if (dim0 > 0) dim0
-      else if (first.length == 2 && first.forall(_.matches("\\d+"))) first(1).toInt
-      else first.length - 1
-    val noHeader = raw.filter(length(trim(col("value"))) > 0)
-      .filter(!col("value").rlike("^\\s*\\d+\\s+\\d+\\s*$"))
+      else if (firstLine.isEmpty) 0
+      else if (headerLooking) firstToks(1).toInt
+      else firstToks.length - 1
+    if (dim <= 0)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("word", StringType),
+          StructField("embedding", ArrayType(FloatType)))))
+    // drop ONLY the header (exact first-line match when one exists) — the
+    // old any-two-integers regex also dropped every DATA line shaped like
+    // two ints (e.g. word "2016" with a dim-1 vector "7")
+    val noHeader0 = raw.filter(length(trim(col("value"))) > 0)
+    val noHeader = if (headerLooking)
+      noHeader0.filter(col("value") =!= lit(firstLine.get)) else noHeader0
     noHeader
       .withColumn("parts", split(trim(col("value")), "\\s+"))
       .filter(size(col("parts")) >= dim + 1)

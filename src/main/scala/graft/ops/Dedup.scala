@@ -34,13 +34,20 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
       .filter(col("n_copies") > 1)
 
-  /** distinct token k-shingles per doc. */
+  /** distinct token k-shingles per doc. Empty/whitespace-only docs get an
+    * EMPTY array (the `array_remove` strips the "" gram the
+    * greatest(…,1)-guarded sequence manufactures for zero tokens —
+    * matching `kShingles`' semantics, and keeping every blank doc out of
+    * `minhashLshPairs`' buckets, where a shared hash("") feature would
+    * otherwise put ALL blank docs into one quadratic mega-bucket).
+    */
   def shingles(docs: DataFrame, k: Int = 3): DataFrame = {
     val toks = TextAnalysis.tokens(lower(col("text")))
     val idx = sequence(lit(1), greatest(size(toks) - (k - 1), lit(1)))
     docs.select(col("doc_id"),
-      array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i, lit(k)))))
-        .as("shingles"))
+      array_remove(
+        array_distinct(transform(idx, i => concat_ws(" ", slice(toks, i, lit(k))))),
+        "").as("shingles"))
   }
 
   /** Near-dup pairs by exact n-gram Jaccard ≥ `threshold`, via inverted
@@ -64,12 +71,10 @@ object Dedup {
     // ~20µs/shingle vs <1µs here.
     val sh = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
-        val grams =
-          if (toks.length < k) {
-            if (toks.isEmpty) Array.empty[String] else Array(toks.mkString(" "))
-          } else toks.sliding(k).map(_.mkString(" ")).toArray
-        val distinctGrams = grams.distinct
+        // kShingles, not an inline copy: Locale.ROOT lowering (a default-
+        // locale lowercase diverges per executor JVM locale) + one source
+        // of truth with the q14 oracle
+        val distinctGrams = kShingles(text, k)
         distinctGrams.iterator.map(g => (id, distinctGrams.length, g))
       }.toDF("doc_id", "n_sh", "shingle")
     // df-prefilter BEFORE any posting list materializes: a stopword shingle
@@ -247,7 +252,11 @@ object Dedup {
     * distance ≤ maxHamming via bit_count(xor).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(docs).cache()
+    // eager localCheckpoint, not cache(): the sketch feeds both self-join
+    // sides, and a cache() here can never be unpersisted by the caller (the
+    // returned plan references it) — checkpoint blocks are reclaimed by the
+    // ContextCleaner once the returned plan is GC'd
+    val sig = simhash(docs).localCheckpoint(true)
     val bands = (0 until 4).map(bI => struct(lit(bI).as("band"),
       shiftright(col("simhash"), bI * 15).bitwiseAND(0x7fffL).as("key")))
     val banded = sig.select(col("doc_id"), col("simhash"),
@@ -280,6 +289,10 @@ object Dedup {
   def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.95,
                          planes: Int = 8, dim: Int = 64,
                          probeRadius: Int = 1): DataFrame = {
+    // only radius 0 (own bucket) and 1 (single-bit flips) are implemented;
+    // a larger radius would silently deliver radius-1 recall
+    require(probeRadius <= 1,
+      s"probeRadius > 1 is not implemented (got $probeRadius); use more planes instead")
     val withBucket = Similarity.withSignBucket(emb, planes, dim)
     val probes =
       if (probeRadius <= 0) array(col("bucket"))

@@ -21,7 +21,8 @@ object Multimodal {
                              height: Int, duration_ms: Int, n_bytes: Int)
 
   /** Synthetic media corpus derived deterministically from any id column:
-    * 16-byte header [magic(4) kind(4) width(4) height(4)] + payload bytes.
+    * 20-byte header [magic "GRFT"(4) | width-hex(8) | height-hex(8)] +
+    * payload bytes (the kind travels as its own column, not in the header).
     * Header fields derive from the engine-portable md5-based
     * `TextAnalysis.hash60`, so the decode stage's output is independently
     * re-derivable by the DuckDB oracle (a true round-trip check of the
@@ -76,23 +77,33 @@ object Multimodal {
       .mapPartitions(_.grouped(128).flatMap(decoder.decodeBatch))
   }
 
-  /** Frame-sample: every `stride`-th payload byte (stand-in for video frame
-    * sampling — same slice-shaped access pattern, pure column expressions).
+  /** Frame-sample: every `stride`-th payload byte starting at the first
+    * post-header byte (stand-in for video frame sampling). Spark has no
+    * binary→array cast, so the slice runs as a Scala UDF over the byte
+    * array — the same shape a real frame sampler (which must touch the
+    * bytes anyway) would take.
     */
-  def frameSample(media: DataFrame, stride: Int = 64): DataFrame =
-    media.select(col("media_id"),
-      transform(
-        sequence(lit(20), greatest(length(col("payload")) - 1, lit(20)), lit(stride)),
-        i => get(col("payload").cast("array<byte>"), i - 1)).as("sampled_bytes"))
+  def frameSample(media: DataFrame, stride: Int = 64): DataFrame = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    val sample = udf((payload: Array[Byte]) =>
+      if (payload == null) null
+      else (20 until payload.length by stride).map(payload(_)).toArray)
+    media.select(col("media_id"), sample(col("payload")).as("sampled_bytes"))
+  }
 
-  /** Byte-histogram feature extraction (16 coarse bins) — the "embedding"
-    * of the fake modality; real systems put CLIP/VGGish here.
+  /** Byte-histogram feature extraction (16 coarse bins over the full
+    * payload) — the "embedding" of the fake modality; real systems put
+    * CLIP/VGGish here. One pass over the bytes in a UDF (see frameSample
+    * for why not column expressions).
     */
-  def byteHistogram(meta: Dataset[MediaMeta], media: DataFrame): DataFrame = {
-    media.select(col("media_id"),
-      transform(sequence(lit(0), lit(15)), b =>
-        size(filter(col("payload").cast("array<byte>"),
-          x => shiftright(x.cast("int") + 256, 4).bitwiseAND(15) === b)))
-        .as("byte_hist"))
+  def byteHistogram(media: DataFrame): DataFrame = {
+    val hist = udf((payload: Array[Byte]) =>
+      if (payload == null) null
+      else {
+        val out = new Array[Int](16)
+        payload.foreach(b => out(((b.toInt + 256) >> 4) & 15) += 1)
+        out
+      })
+    media.select(col("media_id"), hist(col("payload")).as("byte_hist"))
   }
 }

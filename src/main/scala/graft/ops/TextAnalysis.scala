@@ -38,8 +38,11 @@ object TextAnalysis {
     size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
   }
 
-  /** Heuristic language id: CJK char share ⇒ zh, else argmax stopword hits,
-    * ties → 'und' (undetermined). Pure column expression.
+  /** Heuristic language id: CJK char share ⇒ zh, else argmax stopword hits
+    * with ties resolved to the ALPHABETICALLY-FIRST tied language (the fold
+    * below visits languages in sorted order and keeps the first argmax);
+    * 'und' (undetermined) only when no stopword hits at all. The q13 DuckDB
+    * oracle pins exactly these semantics. Pure column expression.
     */
   def langId(text: Column): Column = {
     val cjk = size(split(text, "[\\x{4e00}-\\x{9fff}]")) - 1

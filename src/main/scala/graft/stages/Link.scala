@@ -89,9 +89,11 @@ object Link {
     if (!enableFuzzy) return exactJoined.as[LinkedMention]
 
     // fuzzy pass: the exact result is evaluated by the miss probe below AND
-    // by the output union — persist so the upstream detect runs exactly once
-    val exact = exactJoined
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // by the output union — eager localCheckpoint so the upstream detect
+    // runs exactly once AND the blocks are reclaimable (a persist here
+    // could never be unpersisted by the caller: the returned plan
+    // references it; checkpoint blocks free once the plan is GC'd)
+    val exact = exactJoined.localCheckpoint(true)
 
     val hit = exact.filter(col("entity_id").isNotNull)
     val miss = exact.filter(col("entity_id").isNull).drop("entity_id", "method")
@@ -103,7 +105,9 @@ object Link {
       if (missCount == 0) {
         hit.limit(0).toDF() // empty, same schema
       } else {
-        val grams = udf((s: String) => charNGrams(s.toLowerCase))
+        // Locale.ROOT: a default-locale lowercase varies per executor JVM
+        // locale (e.g. Turkish dotless-i) — nondeterministic buckets
+        val grams = udf((s: String) => charNGrams(s.toLowerCase(java.util.Locale.ROOT)))
         val tf = new HashingTF().setInputCol("grams").setOutputCol("features")
           .setNumFeatures(1 << 16).setBinary(true)
         val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
@@ -123,7 +127,12 @@ object Link {
             col("datasetB.entity_id"), col("datasetB.alias_label"),
             col("jaccard_dist"))
           .filter(col("label") === col("alias_label"))
-        val w = Window.partitionBy("conv_id", "turn_idx", "start", "end")
+        // label IS part of the mention identity: two mentions sharing a span
+        // but differing in label (possible on replayed/unioned inputs) must
+        // each keep their own rerank winner — a span-only window would
+        // collapse them to one row and the span-only anti-join below would
+        // then drop the loser entirely
+        val w = Window.partitionBy("conv_id", "turn_idx", "start", "end", "label")
           .orderBy(col("jaccard_dist").asc, col("entity_id").asc)
         pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
           .select(col("conv_id"), col("turn_idx"), col("start"), col("end"),
@@ -132,8 +141,8 @@ object Link {
       }
 
     val stillMiss = if (missCount == 0) hit.limit(0).toDF() else
-      miss.join(fuzzy.select("conv_id", "turn_idx", "start", "end"),
-          Seq("conv_id", "turn_idx", "start", "end"), "left_anti")
+      miss.join(fuzzy.select("conv_id", "turn_idx", "start", "end", "label"),
+          Seq("conv_id", "turn_idx", "start", "end", "label"), "left_anti")
         .withColumn("entity_id", lit(null).cast("string"))
         .withColumn("method", lit(null).cast("string"))
 

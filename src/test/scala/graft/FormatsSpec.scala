@@ -35,6 +35,26 @@ class FormatsSpec extends SparkSpecBase {
     }
   }
 
+  test("JSONL strict mode rejects malformed JSON and null-text rows (not just length)") {
+    // malformed line: without a corrupt-record column it parses to an
+    // all-null row that label-IS-NULL leniency would wave through
+    intercept[IllegalArgumentException] {
+      Formats.readSentencesJsonl(spark,
+        tmpFile("m.jsonl", "{not json at all\n"), strict = true).count()
+    }
+    // null text with a label: the length comparison alone is three-valued
+    // null there and would slip past a naive filter
+    intercept[IllegalArgumentException] {
+      Formats.readSentencesJsonl(spark,
+        tmpFile("n.jsonl", """{"label": ["O"]}""" + "\n"), strict = true).count()
+    }
+    // lenient mode counts both as invalid (no null _valid rows)
+    val lenient = Formats.readSentencesJsonl(spark,
+      tmpFile("l.jsonl", "{bad\n" + """{"text": ["a"], "label": ["O"]}""" + "\n"))
+    assert(lenient.filter(!col("_valid")).count() == 1)
+    assert(lenient.filter(col("_valid").isNull).count() == 0)
+  }
+
   test("CoNLL source segments on blank lines (cn_data_manager.py:117-141)") {
     val path = tmpFile("c.conll",
       "我 O\n爱 O\n北 B-LOC\n京 E-LOC\n\n天 B-LOC\n安 I-LOC\n门 E-LOC\n")
@@ -61,6 +81,18 @@ class FormatsSpec extends SparkSpecBase {
     assert(df.count() == 3)
     val foo = df.filter(col("word") === "foo").head().getSeq[Float](1)
     assert(foo == Seq(0.1f, 0.2f, 0.3f, 0.4f))
+  }
+
+  test("embedding source: only the header line is dropped, not two-integer DATA lines") {
+    // dim-1 file: "2016 7" is a VALID row (word "2016", vector [7.0]) that
+    // the old any-two-ints regex silently dropped from anywhere in the file
+    val path = tmpFile("e3.txt", "3 1\nalpha 0.5\n2016 7\nbeta 1.5\n")
+    val got = Formats.readEmbeddingTxt(spark, path).collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    assert(got.keySet == Set("alpha", "2016", "beta"), s"got ${got.keySet}")
+    assert(got("2016") == Seq(7f))
+    // empty file: empty DataFrame, not a first() crash
+    assert(Formats.readEmbeddingTxt(spark, tmpFile("e4.txt", "")).count() == 0)
   }
 
   test("OntoNotes4 .name XML → char BMES sentences (ontonotes4.py:18-120)") {

@@ -117,6 +117,23 @@ class DedupSpec extends SparkSpecBase {
   }
 }
 
+class DedupEdgeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("blank docs produce EMPTY shingle arrays (no shared empty-gram mega-bucket)") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "one two three")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(sh(1L).isEmpty && sh(2L).isEmpty, s"blank docs must shingle to []: $sh")
+    assert(sh(3L) == Seq("one two three"))
+    // the spark.ml path's size>0 guard now actually excludes blank docs:
+    // two blank docs must NOT pair with each other
+    val pairs = Dedup.minhashLshPairs(docs, k = 3).collect()
+    assert(!pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "blank docs paired via the empty gram")
+  }
+}
+
 class PromptSpec extends SparkSpecBase {
   import spark.implicits._
   import graft.ops.Prompt
@@ -414,5 +431,17 @@ class MultimodalSpec extends SparkSpecBase {
     // determinism
     val again = Multimodal.decode(media).collect().sortBy(_.media_id)
     assert(metas.toSeq == again.toSeq)
+  }
+
+  test("frameSample takes every stride-th post-header byte; byteHistogram sums to payload length") {
+    val docs = Seq((7L, "abcdefghij" * 5)).toDF("doc_id", "text") // 50-char payload
+    val media = Multimodal.synthMedia(docs)
+    val payload = media.select("payload").head.getAs[Array[Byte]](0)
+    val sampled = Multimodal.frameSample(media, stride = 7)
+      .select("sampled_bytes").head.getAs[Array[Byte]](0)
+    assert(sampled.toSeq == (20 until payload.length by 7).map(payload(_)))
+    val hist = Multimodal.byteHistogram(media)
+      .select("byte_hist").head.getSeq[Int](0)
+    assert(hist.length == 16 && hist.sum == payload.length)
   }
 }

@@ -225,6 +225,20 @@ class LinkSpec extends SparkSpecBase {
     assert(byTurn(2).entity_id == null)
   }
 
+  test("fuzzy pass preserves same-span mentions with different labels (mention identity incl. label)") {
+    import spark.implicits._
+    // identical span, two labels; ORG fuzzy-recovers, PER has no candidate —
+    // a span-only rerank/anti-join would silently drop one of them
+    val mentions = Seq(
+      Mention("c1", 0, 0, 10, "ORG", "Acme  Corp."),
+      Mention("c1", 0, 0, 10, "PER", "Acme  Corp.")).toDS()
+    val out = Link.run(mentions, Transcripts.aliasRows.toDF(), enableFuzzy = true).collect()
+    assert(out.length == 2, s"mention lost: ${out.toSeq}")
+    val byLabel = out.map(l => l.label -> l).toMap
+    assert(byLabel("ORG").method == "fuzzy" && byLabel("ORG").entity_id == "ORG00a")
+    assert(byLabel("PER").entity_id == null)
+  }
+
   test("ambiguous dictionary: exact path emits ONE row per mention, min(entity_id) wins") {
     import spark.implicits._
     val mentions = Seq(Mention("c1", 0, 0, 6, "ORG", "Globex")).toDS()
