@@ -29,7 +29,11 @@ object SparkEntry {
     * tiers; mean conversation length ≈ 9.1 turns → 660k convs at sf=1).
     */
   def convsFor(dir: String): Long = {
-    val sf = raw"sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.01)
+    // LAST well-formed sf component in the path (a parent dir like
+    // "sf2021_runs/sf0.01" must not win), and a number-shaped group — the
+    // old [0-9.]+ matched "0.1." from "sf0.1.bak" and crashed toDouble
+    val sf = raw"sf(\d+(?:\.\d+)?)".r.findAllMatchIn(dir).toSeq.lastOption
+      .map(_.group(1).toDouble).getOrElse(0.01)
     math.max(20L, (660000 * sf).toLong)
   }
 

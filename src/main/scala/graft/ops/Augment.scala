@@ -58,6 +58,12 @@ object Augment {
     // reclaimed by the ContextCleaner once the returned plan is GC'd).
     val mentions = mentions0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // NOTE localCheckpoint blocks are executor-local (no replication): on a
+    // real cluster an executor loss after this returns invalidates the plan
+    // — acceptable for a derived augmentation (recompute on failure); a
+    // production pipeline would materialize to a reliable table instead.
+    // Eager also means construction runs one job up front by design (the
+    // pool collect below needs the same lineage anyway).
     val perTurn = mentions.groupBy(col("conv_id"), col("turn_idx"))
       .agg(sort_array(collect_list(struct(col("start"), col("end"),
         col("label"), col("surface")))).as("ms"))
@@ -70,9 +76,12 @@ object Augment {
 
     turns.toDF().join(perTurn, Seq("conv_id", "turn_idx"))
       .flatMap { row =>
-        val convId = row.getString(0); val turnIdx = row.getInt(1)
-        val text = row.getString(3)
-        val ms = row.getSeq[org.apache.spark.sql.Row](row.length - 1)
+        // by-name access: positional indices silently re-bind if Turn's
+        // field order ever evolves
+        val convId = row.getAs[String]("conv_id")
+        val turnIdx = row.getAs[Int]("turn_idx")
+        val text = row.getAs[String]("text")
+        val ms = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("ms"))
           .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3)))
         val dict = collB.value
         (1 to copies).iterator.flatMap { attempt =>
@@ -81,14 +90,23 @@ object Augment {
           var changed = false
           val prov = scala.collection.mutable.ListBuffer.empty[(Int, Int, String)]
           for (((start, end, label, surface), k) <- ms.zipWithIndex) {
-            sb.append(text.substring(last, start))
-            val pool = dict.getOrElse((label, surface.length), Vector(surface))
-            val pick = pool((((mix(convId.hashCode.toLong ^ (turnIdx.toLong << 20)
-              ^ (attempt.toLong << 40) ^ k.toLong) >>> 1) % pool.length).toInt))
-            if (pick != surface) changed = true
-            prov += ((sb.length, sb.length + pick.length, surface))
-            sb.append(pick)
-            last = end
+            // mentions from arbitrary sources may overlap (Detect's never
+            // do); an overlapping span cannot be spliced into the rebuilt
+            // text — skip it rather than corrupt offsets or crash
+            if (start >= last) {
+              sb.append(text.substring(last, start))
+              // pool key uses CODEPOINT length — labelCollection buckets by
+              // SQL length() (codepoints, = Python len()); String.length is
+              // UTF-16 units and diverges on non-BMP chars
+              val pool = dict.getOrElse(
+                (label, surface.codePointCount(0, surface.length)), Vector(surface))
+              val pick = pool((((mix(convId.hashCode.toLong ^ (turnIdx.toLong << 20)
+                ^ (attempt.toLong << 40) ^ k.toLong) >>> 1) % pool.length).toInt))
+              if (pick != surface) changed = true
+              prov += ((sb.length, sb.length + pick.length, surface))
+              sb.append(pick)
+              last = end
+            }
           }
           sb.append(text.substring(last))
           // reference dedups replacements identical to the origin
@@ -111,7 +129,10 @@ object Augment {
     words.select(col("word")).as[String].mapPartitions { it =>
       val tg = tagger.value
       it.grouped(2048).flatMap { chunk => // batch size per t1.py:158
-        chunk.zip(tg.tagBatch(chunk)).map { case (w, tags) => (w, tags.toSeq) }
+        // length-sorted per the MentionTagger seam contract (packed
+        // inference); pairing is per-word so output order is irrelevant
+        val sorted = chunk.sortBy(-_.length)
+        sorted.zip(tg.tagBatch(sorted)).map { case (w, tags) => (w, tags.toSeq) }
       }
     }.toDF("word", "tags")
   }
@@ -128,7 +149,10 @@ object Augment {
         * bound)
     val emb = embeddings.select(col("word").as("_emb_word"),
       col("embedding").as("_emb_vec"))
-    vocab.join(broadcast(emb), vocab("word") === emb("_emb_word"), "left")
+    // no broadcast hint: pretrained embedding tables are the UNBOUNDED side
+    // (millions of words × dim floats — multi-GB at reference scale, past
+    // any broadcast limit); AQE broadcasts small ones at runtime anyway
+    vocab.join(emb, vocab("word") === emb("_emb_word"), "left")
       .select(vocab("word"),
         coalesce(col("_emb_vec"), seeded.cast("array<float>")).as("embedding"),
         col("_emb_vec").isNotNull.as("pretrained"))

@@ -38,6 +38,11 @@ object Prompt {
                 rules: Map[String, String]): Option[PromptRow] = {
     require(word.length == tags.length,
       "the length of word is not equal to the tag")
+    // split('-').last is the REFERENCE's `tag[0].split('-')[-1]`
+    // (tag_convert.py:46) kept verbatim — note it takes the LAST dash
+    // segment, unlike core.Tags.typeOf (first dash), so a hyphenated type
+    // like "GPE-CITY" keys the rules map as "CITY" here. Reference labels
+    // contain no inner dashes, so the paths agree on all reference data.
     val single = tags.head.split('-').last
     rules.get(single).map { rule =>
       val w = word.map(_.toString)
@@ -77,7 +82,14 @@ object Prompt {
         }
       }
       .toDF("conv_id", "turn_idx", "prompt_origin", "prompt", "mask_csv", "tags_csv")
-      .dropDuplicates("conv_id", "turn_idx", "prompt_origin")
+      // deterministic winner per origin: dropDuplicates keeps a partition-
+      // order-dependent row when a NON-injective rules map lets two labels
+      // share one origin with different tag streams
+      .groupBy(col("conv_id"), col("turn_idx"), col("prompt_origin"))
+      .agg(min(struct(col("prompt"), col("mask_csv"), col("tags_csv"))).as("_w"))
+      .select(col("conv_id"), col("turn_idx"), col("prompt_origin"),
+        col("_w.prompt").as("prompt"), col("_w.mask_csv").as("mask_csv"),
+        col("_w.tags_csv").as("tags_csv"))
   }
 
   /** Per-sentence matched-word half (lex_loader.py:179-199): prompts for
@@ -100,6 +112,12 @@ object Prompt {
         }
       }
       .toDF("word", "prompt_origin", "prompt", "mask_csv", "tags_csv")
-      .dropDuplicates("prompt_origin")
+      // deterministic winner, as in entityPrompts
+      .groupBy(col("prompt_origin"))
+      .agg(min(struct(col("word"), col("prompt"), col("mask_csv"),
+        col("tags_csv"))).as("_w"))
+      .select(col("_w.word").as("word"), col("prompt_origin"),
+        col("_w.prompt").as("prompt"), col("_w.mask_csv").as("mask_csv"),
+        col("_w.tags_csv").as("tags_csv"))
   }
 }

@@ -41,11 +41,12 @@ object StreamingDetect {
       val tg = tagger.value
       it.grouped(Detect.BatchSize).flatMap { chunk =>
         val sorted = chunk.sortBy(-_.text.length)
-        sorted.iterator.zip(tg.tagBatch(sorted.map(_.text)).iterator).map {
-          case (turn, tags) =>
+        // spanBatch, not tagBatch+getEntities: the streaming hot path gets
+        // the same span fast path as batch Detect.run
+        sorted.iterator.zip(tg.spanBatch(sorted.map(_.text)).iterator).map {
+          case (turn, spans) =>
             (turn.conv_id, turn.turn_idx, turn.ts,
-              Tags.getEntities(tags.toIndexedSeq, turn.text)
-                .map(sp => (sp.label, sp.surface)))
+              spans.map(sp => (sp.label, sp.surface)))
         }
       }
     }.toDF("conv_id", "turn_idx", "ts", "spans")
