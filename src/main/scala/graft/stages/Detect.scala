@@ -80,24 +80,29 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
     if (n == 0) return Nil
     val path = scratch.get().path
     val out = scala.collection.mutable.ListBuffer.empty[Span]
-    val word = new java.lang.StringBuilder
+    // The reference machine's word buffer is ALWAYS a contiguous text
+    // slice: it clears at every B/O/S and appends every other char, so its
+    // content is text[wordStart, close) where wordStart is the first
+    // append since the last clear — including the dangling-E/I-before-open
+    // quirk (wordStart then precedes the span's own start). Tracking the
+    // offset reproduces label.py verbatim with no buffer allocation.
     var curLabel: String = null
     var start = -1
+    var wordStart = -1
     var i = 0
     while (i <= n) { // i == n is the virtual trailing "B-" sentinel
       val head = if (i < n) headOf(path(i)) else 'B'
       if (head == 'B' || head == 'O' || head == 'S') {
-        if (curLabel != null) out += Span(start, i, curLabel, word.toString)
-        word.setLength(0); curLabel = null; start = -1
+        if (curLabel != null) out += Span(start, i, curLabel, text.substring(wordStart, i))
+        wordStart = -1; curLabel = null; start = -1 // the unconditional word.clear()
       }
       if (i < n) {
         if (head == 'B' || head == 'S' ||
             ((head == 'M' || head == 'I') && curLabel == null)) {
           curLabel = typeArr(path(i)); start = i
         }
-        // reference machine appends EVERY non-O char — even a dangling
-        // E/I before any span opens (label.py:33-43)
-        if (head != 'O') word.append(text.charAt(i))
+        // reference machine appends EVERY non-O char (label.py:33-43)
+        if (head != 'O' && wordStart < 0) wordStart = i
       }
       i += 1
     }
