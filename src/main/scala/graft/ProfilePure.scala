@@ -56,6 +56,12 @@ object ProfilePure {
         Link.run(Detect.run(Transcripts.turns(spark, nConvs), tagger), alias),
         Transcripts.sameAs.toDF("src", "dst"))).count()
     }
+    t("gen..triplesEnc") { // dictionary-encoded exchange (Pipeline default)
+      val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
+      Triples.runEncoded(Canon.run(
+        Link.run(Detect.run(Transcripts.turns(spark, nConvs), tagger), alias),
+        Transcripts.sameAs.toDF("src", "dst")), Pipeline.transcriptsDict).count()
+    }
     spark.stop()
   }
 }

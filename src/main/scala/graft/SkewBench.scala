@@ -62,12 +62,18 @@ object SkewBench {
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    // JIT/codegen warmup on both paths at 1/10 scale
+    // both corpora draw entity ids from P%02d / Q%02d, 50 values each
+    val dict = stages.TripleDict(Seq("PER"),
+      (0 until 50).flatMap(i => Seq(f"P$i%02d", f"Q$i%02d")))
+    // JIT/codegen warmup on all paths at 1/10 scale
     stages.Triples.runWindow(corpus(hugeTurns / 10)).count()
     stages.Triples.run(corpus(hugeTurns / 10)).count()
+    stages.Triples.runEncoded(corpus(hugeTurns / 10), dict).count()
     val window = (1 to 2).map(_ => time(stages.Triples.runWindow(corpus(hugeTurns)).count())).min
     val chunked = (1 to 2).map(_ => time(stages.Triples.run(corpus(hugeTurns)).count())).min
-    println(f"""{"metric":"skew_triples","huge_turns":$hugeTurns,"window_sec":$window%.1f,"chunked_sec":$chunked%.1f,"speedup":${window / chunked}%.2f}""")
+    val encoded = (1 to 2).map(_ =>
+      time(stages.Triples.runEncoded(corpus(hugeTurns), dict).count())).min
+    println(f"""{"metric":"skew_triples","huge_turns":$hugeTurns,"window_sec":$window%.1f,"chunked_sec":$chunked%.1f,"encoded_sec":$encoded%.1f,"speedup":${window / chunked}%.2f,"speedup_encoded":${window / encoded}%.2f}""")
     spark.stop()
   }
 }

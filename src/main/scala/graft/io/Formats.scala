@@ -3,7 +3,6 @@ package graft.io
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.expressions.Window
 import graft.core.Tags
 
 /** Reference-format interop (SURVEY.md §2.1): every file format the
@@ -54,28 +53,110 @@ object Formats {
   def writeSentencesJsonl(df: DataFrame, path: String): Unit =
     df.select(col("text"), col("label")).write.mode("overwrite").json(path)
 
-  /** CoNLL source: `word<sep>tag` lines, sentences split on blank lines
-    * (`cn_data_manager.py:117-141`). Distributed segmentation: sentence id =
-    * running count of blank lines before each row (`sum(blank) over
-    * (order by line)`) — one global-ordered window over the file's line
-    * numbers; per-file monotonic ids come free from `zipWithIndex`-style
-    * `monotonically_increasing_id` only if the file is one partition, so we
-    * use the text reader's preserved order via a single file partition per
-    * file (CoNLL files are small dimension inputs, not fact tables).
+  /** Order-preserving distributed line source: one record per line carrying
+    * (source file, absolute byte offset, line). `TextInputFormat` record
+    * keys ARE the line's byte offset in its file, and a `NewHadoopRDD`
+    * partition is exactly one input split — so (file, offset) is a total
+    * order over every file's lines that needs NO driver-side collection,
+    * no single-partition coalesce, and no global window. The foundation for
+    * `readConll`'s distributed sentence numbering and the per-file header
+    * drop in `readEmbeddingTxt`.
+    *
+    * @param maxSplitBytes test hook: force small input splits so multi-split
+    *        ordering is exercised on small fixtures (-1 = cluster default).
     */
-  def readConll(spark: SparkSession, path: String, sep: String = " "): DataFrame = {
+  private[graft] def linesWithOffsets(spark: SparkSession, path: String,
+      maxSplitBytes: Long = -1L): org.apache.spark.rdd.RDD[(String, Long, String)] = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.{FileSplit, TextInputFormat}
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    if (maxSplitBytes > 0)
+      conf.setLong("mapreduce.input.fileinputformat.split.maxsize", maxSplitBytes)
+    spark.sparkContext
+      .newAPIHadoopFile(path, classOf[TextInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .asInstanceOf[org.apache.spark.rdd.NewHadoopRDD[LongWritable, Text]]
+      .mapPartitionsWithInputSplit { case (split, it) =>
+        val file = split.asInstanceOf[FileSplit].getPath.toString
+        // Text/LongWritable instances are REUSED by the record reader —
+        // materialize per record
+        it.map { case (k, v) => (file, k.get(), v.toString) }
+      }
+  }
+
+  /** CoNLL source: `word<sep>tag` lines, sentences split on blank lines
+    * (`cn_data_manager.py:117-141`). Fully distributed two-pass segmentation
+    * (the `withSplit` recipe): pass 1 aggregates per-split line/blank counts
+    * (splits are totally ordered by (file, first byte offset)); the driver
+    * folds them into per-split line-number and sentence-id bases (a few
+    * rows per 128 MB of input — trivially driver-sized); pass 2 numbers
+    * each split locally from its broadcast base. No `coalesce(1)`, no
+    * global window — a CoNLL corpus of fact-table size segments in
+    * parallel. The input is read twice (both passes distributed), exactly
+    * like `RDD.zipWithIndex`'s count-then-map shape.
+    *
+    * Multi-file input: files are ordered by path; a file boundary always
+    * starts a new sentence (sentence ids keep counting across files).
+    * Single-file behavior is byte-identical to the previous implementation
+    * (q44 oracle; line_no/sentence_id both 0-based).
+    */
+  def readConll(spark: SparkSession, path: String, sep: String = " ",
+                maxSplitBytes: Long = -1L): DataFrame = {
     import spark.implicits._
-    val lines = spark.read.textFile(path).coalesce(1)
-      .rdd.zipWithIndex().toDF("line", "line_no")
-    val w = Window.orderBy(col("line_no"))
-    lines
-      .withColumn("blank", when(length(trim(col("line"))) === 0, 1L).otherwise(0L))
-      .withColumn("sentence_id",
-        sum(col("blank")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .filter(col("blank") === 0)
-      .withColumn("word", split(col("line"), java.util.regex.Pattern.quote(sep)).getItem(0))
-      .withColumn("tag", split(col("line"), java.util.regex.Pattern.quote(sep)).getItem(1))
-      .select(col("sentence_id"), col("line_no"), col("word"), col("tag"))
+    val lines = linesWithOffsets(spark, path, maxSplitBytes)
+    // pass 1: per-split (file, firstOffset, nLines, nBlanks)
+    val stats = lines.mapPartitionsWithIndex { case (pid, it) =>
+      var file: String = null
+      var first = 0L
+      var n = 0L
+      var blanks = 0L
+      it.foreach { case (f, off, line) =>
+        if (file == null) { file = f; first = off }
+        n += 1
+        if (line.trim.isEmpty) blanks += 1
+      }
+      if (file == null) Iterator.empty
+      else Iterator.single((pid, file, first, n, blanks))
+    }.collect()
+    // driver fold in (file, offset) order: line_no base is the global
+    // cumulative line count; sentence base is the file's base (previous
+    // files' blanks + one boundary sentence each) plus blanks in the file's
+    // earlier splits
+    val ordered = stats.sortBy { case (_, f, off, _, _) => (f, off) }
+    val baseMap = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    var lineBase = 0L
+    var fileSentBase = 0L
+    var blanksInFile = 0L
+    var curFile: String = null
+    ordered.foreach { case (pid, f, _, n, b) =>
+      if (f != curFile) {
+        if (curFile != null) fileSentBase += blanksInFile + 1
+        curFile = f
+        blanksInFile = 0L
+      }
+      baseMap(pid) = (lineBase, fileSentBase + blanksInFile)
+      lineBase += n
+      blanksInFile += b
+    }
+    val bases = spark.sparkContext.broadcast(baseMap.toMap)
+    val quoted = java.util.regex.Pattern.quote(sep)
+    // pass 2: local running count from the broadcast base
+    lines.mapPartitionsWithIndex { case (pid, it) =>
+      val (lb, sb) = bases.value.getOrElse(pid, (0L, 0L))
+      var i = 0L
+      var blanks = 0L
+      it.flatMap { case (_, _, line) =>
+        val lineNo = lb + i
+        i += 1
+        if (line.trim.isEmpty) { blanks += 1; None }
+        else {
+          val parts = line.split(quoted, -1)
+          val tag = if (parts.length > 1) parts(1) else null
+          Some((sb + blanks, lineNo, parts(0), tag))
+        }
+      }
+    }.toDF("sentence_id", "line_no", "word", "tag")
   }
 
   /** CoNLL "extreme" variant: drop rows matching `pattern` before
@@ -103,36 +184,46 @@ object Formats {
     * from the header, or inferred from the first data line. Rows whose
     * vector is not exactly `dim` floats are dropped (corrupt/short lines).
     *
-    * Inference caveat (pass `dim` explicitly to avoid it): the probe reads
-    * ONE line — with a multi-file glob, or a headerless file whose first
-    * word contains spaces, the inferred dim can be wrong and valid rows are
-    * then silently dropped by the size filters below.
+    * Header handling is PER FILE and positional: each file's byte-offset-0
+    * line is dropped iff it looks like a `count dim` header — a data row
+    * that happens to equal another file's header string survives, and every
+    * file in a multi-file glob gets its own header dropped. Dim inference
+    * (when `dim0` is not given) probes the path-wise first file's first
+    * line; pass `dim` explicitly when a glob mixes dimensions.
     */
   def readEmbeddingTxt(spark: SparkSession, path: String,
                        maxScan: Int = -1, dim0: Int = -1): DataFrame = {
-    val raw0 = spark.read.textFile(path)
-    val raw = if (maxScan > 0) raw0.limit(maxScan + 1) else raw0
-    // header probe: tiny dimension input, one driver-side single-row
-    // collect is fine (empty-file safe, unlike first())
-    val firstLine = raw.limit(1).collect().headOption
-    val firstToks = firstLine.map(_.trim.split("\\s+")).getOrElse(Array.empty[String])
-    val headerLooking = firstToks.length == 2 && firstToks.forall(_.matches("\\d+"))
+    import spark.implicits._
+    val lines = linesWithOffsets(spark, path)
+    // per-file first lines: each split's iterator yields its first record
+    // only (offset 0 ⇔ the file's first split) — reads ONE line per split
+    val firstLines = lines.mapPartitions(it =>
+        it.take(1).filter(_._2 == 0L).map(t => (t._1, t._3)))
+      .collect().toMap
+    def headerToks(l: String): Array[String] = l.trim.split("\\s+")
+    def isHeader(l: String): Boolean = {
+      val t = headerToks(l); t.length == 2 && t.forall(_.matches("\\d+"))
+    }
+    val probe = firstLines.toSeq.sortBy(_._1).headOption.map(_._2)
     val dim =
       if (dim0 > 0) dim0
-      else if (firstLine.isEmpty) 0
-      else if (headerLooking) firstToks(1).toInt
-      else firstToks.length - 1
+      else probe match {
+        case None => 0
+        case Some(l) if isHeader(l) => headerToks(l)(1).toInt
+        case Some(l) => headerToks(l).length - 1
+      }
     if (dim <= 0)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("word", StringType),
           StructField("embedding", ArrayType(FloatType)))))
-    // drop ONLY the header (exact first-line match when one exists) — the
-    // old any-two-integers regex also dropped every DATA line shaped like
-    // two ints (e.g. word "2016" with a dim-1 vector "7")
-    val noHeader0 = raw.filter(length(trim(col("value"))) > 0)
-    val noHeader = if (headerLooking)
-      noHeader0.filter(col("value") =!= lit(firstLine.get)) else noHeader0
+    val headerFiles = firstLines.collect { case (f, l) if isHeader(l) => f }.toSeq
+    val all0 = lines.toDF("_file", "_off", "value")
+    val all = if (maxScan > 0) all0.limit(maxScan + 1) else all0
+    val noHeader0 = all.filter(length(trim(col("value"))) > 0)
+    val noHeader = if (headerFiles.isEmpty) noHeader0
+      else noHeader0.filter(
+        !(col("_off") === 0 && col("_file").isin(headerFiles: _*)))
     noHeader
       .withColumn("parts", split(trim(col("value")), "\\s+"))
       .filter(size(col("parts")) >= dim + 1)

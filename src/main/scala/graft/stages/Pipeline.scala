@@ -13,6 +13,15 @@ import graft.synth.Transcripts
   */
 object Pipeline {
 
+  /** Encode dictionary for the packed triple-assembly path: canonical ids
+    * are elected as min(entity_id) over same-as components, so the alias
+    * ids ∪ same-as vertices is closed under canonicalization.
+    */
+  private[graft] lazy val transcriptsDict: TripleDict = TripleDict(
+    Transcripts.aliasRows.map(_.label),
+    Transcripts.aliasRows.map(_.entity_id) ++
+      Transcripts.sameAs.flatMap(p => Seq(p._1, p._2)))
+
   /** Lazily-built pipeline stages. Nothing runs at construction time: the
     * connected-components loop (which needs Spark actions of its own) only
     * executes when `canon`/`triples` is first touched, so a consumer of
@@ -37,7 +46,7 @@ object Pipeline {
     lazy val canon: DataFrame =
       Canon.run(linked.as[LinkedMention], Transcripts.sameAs.toDF("src", "dst")).toDF()
     lazy val triples: DataFrame = {
-      val t = Triples.run(canon.as[CanonMention]).toDF()
+      val t = Triples.runEncoded(canon.as[CanonMention], Pipeline.transcriptsDict).toDF()
       if (persistTriples) {
         val p = t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         triplesPersisted = true
@@ -63,7 +72,7 @@ object Pipeline {
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.LinkedHashMap[(Long, Long), Result]]()
 
   /** Distinct (nConvs, seed) Results memoized per session before the
-    * least-recently-INSERTED one is evicted (and its persisted triples
+    * least-recently-USED one is evicted (and its persisted triples
     * dropped) — bounds block-manager growth when one session touches many
     * corpus sizes.
     */
@@ -94,14 +103,26 @@ object Pipeline {
       m
     }
     perSession.synchronized {
-      perSession.getOrElseUpdate((nConvs, seed), {
-        if (perSession.size >= MaxMemoPerSession) {
-          val (k0, r0) = perSession.head
-          perSession.remove(k0)
-          r0.release()
-        }
-        new Result(spark, nConvs, seed)
-      })
+      val key = (nConvs, seed)
+      perSession.remove(key) match {
+        case Some(hit) =>
+          // access-order LRU: re-insert the hit at the end so the eviction
+          // victim (head) is the least-recently-USED entry, not merely the
+          // least-recently-inserted one (an insertion-order head could still
+          // be in active use by another query — unpersisting it would
+          // silently recompute the whole pipeline)
+          perSession.put(key, hit)
+          hit
+        case None =>
+          if (perSession.size >= MaxMemoPerSession) {
+            val (k0, r0) = perSession.head
+            perSession.remove(k0)
+            r0.release()
+          }
+          val fresh = new Result(spark, nConvs, seed)
+          perSession.put(key, fresh)
+          fresh
+      }
     }
   }
 
@@ -151,7 +172,7 @@ object Pipeline {
     }
 
     val triples = SnapshotIO.resumeOrCompute(spark, workDir, "triples", inputKey) {
-      Triples.run(canon.as[CanonMention]).toDF()
+      Triples.runEncoded(canon.as[CanonMention], transcriptsDict).toDF()
     }
 
     // per-stage lineage metrics (rows per stage) — appended, not recomputed,

@@ -1,9 +1,57 @@
 package graft.stages
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core._
+
+/** Dictionary for the encoded triple-assembly path (`Triples.runEncoded`):
+  * label and entity-id vocabularies sorted in unsigned UTF-8 byte order —
+  * Spark's binary string collation — so the packed 64-bit mention sort
+  * (start, labelRank, entityRank) is EXACTLY the generic path's struct sort
+  * (start, label, canonical_id). Entity ranks therefore preserve the
+  * deterministic tie-break order everywhere it matters (within-turn mention
+  * ordering for `mentions_with` pairs).
+  *
+  * Build via `TripleDict(labels, entities)`; the entity vocabulary must
+  * cover every `canonical_id` the encoded path will see (the pipeline's is
+  * alias-dictionary ids ∪ same-as vertices — canonical ids are elected as
+  * min entity_id over components, so that union is closed). Unknown ids
+  * fail LOUDLY at encode time (`raise_error`), never silently drop.
+  */
+final class TripleDict private (val labels: Array[String],
+                                val entities: Array[String]) extends Serializable {
+  @transient private lazy val labelRankMap: Map[String, Int] =
+    labels.zipWithIndex.toMap
+  def rankOfLabel(l: String): Int = labelRankMap.getOrElse(l, -1)
+}
+
+object TripleDict {
+  /** Unsigned UTF-8 byte comparison (== Spark UTF8String binary ordering;
+    * Java's String.compareTo differs on supplementary-plane chars).
+    */
+  private[stages] val utf8Order: Ordering[String] = new Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
+  def apply(labels: Iterable[String], entities: Iterable[String]): TripleDict = {
+    val ls = labels.toArray.distinct.sorted(utf8Order)
+    require(ls.length <= 256, s"TripleDict supports ≤256 labels, got ${ls.length}")
+    val es = entities.toArray.distinct.sorted(utf8Order)
+    new TripleDict(ls, es)
+  }
+}
 
 /** Triple assembly: `Dataset[CanonMention] → Dataset[Triple]`.
   *
@@ -85,6 +133,213 @@ object Triples {
       .filter(!col("_ctx"))
       .select(prevCols: _*)
     emit(withPrev)(canon.sparkSession)
+  }
+
+  /** Mention-offset ceiling of the packed encoding: 23 bits. A single turn
+    * longer than ~8.4M chars cannot pack (fails loudly; use `run`).
+    */
+  val MaxPackedStart: Int = 1 << 23
+
+  /** Dictionary-encoded variant of `run` — the pipeline's hot path. The
+    * triple exchange is the measured shuffle-byte ceiling of the whole flow
+    * (BENCH.md stage breakdown: ~75% of pipeline wall at 18.2M turns), and
+    * what it ships per mention in the generic path is a struct of STRINGS
+    * (label + canonical_id, ~40 B in UnsafeRow layout). Here each mention is
+    * packed into ONE 64-bit long BEFORE the exchange:
+    *
+    *   [ start : 23 bits | labelRank : 8 bits | entityRank : 32 bits ]
+    *
+    * with ranks assigned in UTF-8 byte order (see `TripleDict`), so the
+    * natural ascending long sort == the generic struct sort — outputs are
+    * bit-identical (equivalence-tested in PipelineSpec). The entity encode
+    * is a broadcast hash join against the rank dictionary (no shuffle of
+    * the unbounded mention side); the label encode is a ≤256-entry map
+    * literal; decode happens inside the emit flatMap via broadcast reverse
+    * arrays — no decode joins, and emitted subj/obj strings are SHARED
+    * references into the broadcast array (zero per-triple string
+    * allocation, the at-scale fix for the emit hot loop).
+    *
+    * Same chunked-window skew-proofing as `run` (single shuffle exchange,
+    * plan-asserted in PlansSpec).
+    */
+  def runEncoded(canon: Dataset[CanonMention], dict: TripleDict,
+                 chunkTurns: Int = DefaultChunkTurns): Dataset[Triple] = {
+    require(chunkTurns >= 2, s"chunkTurns must be ≥ 2, got $chunkTurns")
+    val spark = canon.sparkSession
+    import spark.implicits._
+
+    val eidDf = spark.createDataset(
+        dict.entities.toIndexedSeq.zipWithIndex.map { case (e, i) => (e, i) })
+      .toDF("_can", "_eid")
+    val labelMap = typedlit(dict.labels.zipWithIndex.toMap)
+    // loud-failure guards: a mention the dictionary can't encode must abort
+    // the job (silent drops would corrupt the KG); start offsets are bounded
+    // by the packing layout
+    val startChecked = when(col("start") < MaxPackedStart, col("start"))
+      .otherwise(raise_error(concat(
+        lit(s"Triples.runEncoded: start ≥ $MaxPackedStart in "), col("conv_id"))).cast("int"))
+    val lbChecked = coalesce(try_element_at(labelMap, col("label")),
+      raise_error(concat(lit("Triples.runEncoded: label not in dict: "),
+        col("label"))).cast("int"))
+    val eidChecked = coalesce(col("_eid"),
+      raise_error(concat(lit("Triples.runEncoded: canonical_id not in dict: "),
+        col("canonical_id"))).cast("int"))
+    val packed = canon
+      .filter(col("canonical_id").isNotNull)
+      .join(broadcast(eidDf), col("canonical_id") === col("_can"), "left")
+      .select(col("conv_id"), col("turn_idx"),
+        (shiftleft(startChecked.cast("long"), 40) +
+          shiftleft(lbChecked.cast("long"), 32) +
+          eidChecked.cast("long")).as("_m"))
+
+    // chunk + overlap-1 context duplication, exactly as `run` (see class doc)
+    val chunk = floor(col("turn_idx") / chunkTurns).cast("int")
+    val boundary = pmod(col("turn_idx"), lit(chunkTurns)) === chunkTurns - 1
+    val dup = packed
+      .withColumn("_d", explode(when(boundary,
+          array(struct(chunk.as("c"), lit(false).as("ctx")),
+                struct((chunk + 1).as("c"), lit(true).as("ctx"))))
+        .otherwise(array(struct(chunk.as("c"), lit(false).as("ctx"))))))
+      .select(col("conv_id"), col("turn_idx"), col("_m"),
+        col("_d.c").as("_chunk"), col("_d.ctx").as("_ctx"))
+    val perTurn = dup
+      .repartition(col("conv_id"), col("_chunk"))
+      .groupBy(col("conv_id"), col("_chunk"), col("turn_idx"))
+      .agg(sort_array(collect_list(col("_m"))).as("ms"), max(col("_ctx")).as("_ctx"))
+    val w = Window.partitionBy(col("conv_id"), col("_chunk")).orderBy(col("turn_idx"))
+    val withPrev = perTurn
+      .withColumn("prev_idx", lag(col("turn_idx"), 1).over(w))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .filter(!col("_ctx"))
+      .select(col("conv_id"), col("turn_idx"), col("ms"),
+        col("prev_idx"), col("prev_ms"))
+    emitPacked(withPrev, dict)(spark)
+  }
+
+  /** Growable long array with linear-scan dedup — per-turn triple counts are
+    * tiny, so a scan beats any hash set and allocates nothing per element
+    * (no boxing). Reset per row via `clear()`.
+    */
+  private final class PairDedup {
+    private var keys = new Array[Long](16)
+    private var n = 0
+    def clear(): Unit = n = 0
+    /** true iff key was not seen before (and is now recorded). */
+    def add(key: Long): Boolean = {
+      var i = 0
+      while (i < n) { if (keys(i) == key) return false; i += 1 }
+      if (n == keys.length) keys = java.util.Arrays.copyOf(keys, n * 2)
+      keys(n) = key; n += 1; true
+    }
+  }
+
+  private val EmptyLongs = Array.empty[Long]
+
+  private def longArray(s: Seq[Long]): Array[Long] = (s: Any) match {
+    case a: scala.collection.immutable.ArraySeq.ofLong => a.unsafeArray
+    case a: scala.collection.mutable.ArraySeq.ofLong => a.array
+    case other: Seq[_] =>
+      longArrayCopy(other.asInstanceOf[Seq[Long]])
+  }
+
+  private def longArrayCopy(other: Seq[Long]): Array[Long] = {
+      val n = other.length
+      val out = new Array[Long](n)
+      var i = 0
+      val it = other.iterator
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      out
+  }
+
+  /** Packed-path emit: identical rule bodies to `emit`/`withinTurnTriples`/
+    * `followUps` but evaluated on the packed longs — label compare is an int
+    * compare, pair dedup is a packed (pred, subj, obj) long key, and subj/obj
+    * decode is an index into the broadcast entity array (shared string refs,
+    * no per-triple allocation beyond the output `Triple` itself).
+    * Equivalence to the generic path is property-tested (PipelineSpec).
+    */
+  private def emitPacked(withPrev: DataFrame, dict: TripleDict)
+                        (spark: SparkSession): Dataset[Triple] = {
+    import spark.implicits._
+    val bcEnts = spark.sparkContext.broadcast(dict.entities)
+    // rule-label ranks resolved once on the driver; -1 (absent from this
+    // corpus' label vocabulary) simply never matches
+    val perB = dict.rankOfLabel("PER")
+    val orgB = dict.rankOfLabel("ORG")
+    val locB = dict.rankOfLabel("LOC")
+    withPrev.mapPartitions { rows =>
+      val ents = bcEnts.value
+      val dedup = new PairDedup
+      val out = new scala.collection.mutable.ArrayBuffer[Triple]()
+      rows.flatMap { row =>
+        val convId = row.getString(0)
+        val turnIdx = row.getInt(1)
+        val ms = longArray(row.getSeq[Long](2))
+        val prevAdjacent = !row.isNullAt(3) && row.getInt(3) == turnIdx - 1
+        val prev =
+          if (prevAdjacent && !row.isNullAt(4)) longArray(row.getSeq[Long](4))
+          else EmptyLongs
+
+        dedup.clear()
+        out.clear()
+        @inline def lbOf(v: Long): Int = ((v >>> 32) & 0xff).toInt
+        @inline def eidOf(v: Long): Int = (v & 0xffffffffL).toInt
+        def emitT(predId: Int, pred: String, s: Int, o: Int): Unit = {
+          val key = (predId.toLong << 62) | (s.toLong << 31) | o.toLong
+          if (dedup.add(key)) out += Triple(ents(s), pred, ents(o), convId, turnIdx)
+        }
+        // rule order mirrors withinTurnTriples ++ followUps exactly
+        var i = 0
+        while (i < ms.length) { // PER × ORG → affiliated_with
+          if (lbOf(ms(i)) == perB) {
+            var j = 0
+            while (j < ms.length) {
+              if (lbOf(ms(j)) == orgB) emitT(0, "affiliated_with", eidOf(ms(i)), eidOf(ms(j)))
+              j += 1
+            }
+          }
+          i += 1
+        }
+        i = 0
+        while (i < ms.length) { // PER × PER (i<j, distinct ids) → mentions_with
+          if (lbOf(ms(i)) == perB) {
+            var j = i + 1
+            while (j < ms.length) {
+              if (lbOf(ms(j)) == perB && eidOf(ms(i)) != eidOf(ms(j)))
+                emitT(1, "mentions_with", eidOf(ms(i)), eidOf(ms(j)))
+              j += 1
+            }
+          }
+          i += 1
+        }
+        i = 0
+        while (i < ms.length) { // ORG × LOC → located_in
+          if (lbOf(ms(i)) == orgB) {
+            var j = 0
+            while (j < ms.length) {
+              if (lbOf(ms(j)) == locB) emitT(2, "located_in", eidOf(ms(i)), eidOf(ms(j)))
+              j += 1
+            }
+          }
+          i += 1
+        }
+        i = 0
+        while (i < ms.length) { // PER(t) × PER(t−1), distinct ids → follows_up
+          if (lbOf(ms(i)) == perB) {
+            var j = 0
+            while (j < prev.length) {
+              if (lbOf(prev(j)) == perB && eidOf(ms(i)) != eidOf(prev(j)))
+                emitT(3, "follows_up", eidOf(ms(i)), eidOf(prev(j)))
+              j += 1
+            }
+          }
+          i += 1
+        }
+        // out is reused across rows: copy the emitted slice (List avoids
+        // retaining the buffer's backing array)
+        out.toList
+      }
+    }
   }
 
   /** Unchunked window variant: requires every conversation to fit one

@@ -67,6 +67,40 @@ class FormatsSpec extends SparkSpecBase {
     assert(tags == "B-LOC")
   }
 
+  test("CoNLL distributed segmentation: multi-split result == single-split result") {
+    // force ~24-byte input splits so the file spans MANY partitions — the
+    // two-pass base computation must reproduce the serial numbering exactly
+    val content = (0 until 40).map { s =>
+      (0 until 3).map(t => s"w${s}_$t T$s").mkString("\n")
+    }.mkString("\n\n") + "\n"
+    val path = tmpFile("big.conll", content)
+    def rows(maxSplit: Long) =
+      Formats.readConll(spark, path, maxSplitBytes = maxSplit)
+        .orderBy("line_no").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSeq
+    val single = rows(-1)
+    val multi = rows(24)
+    assert(single == multi, "multi-split numbering diverged from serial")
+    assert(single.map(_._1).distinct.size == 40) // 40 sentences
+    // a genuinely multi-partition read, not an accidental one-split run
+    assert(Formats.linesWithOffsets(spark, path, 24).getNumPartitions > 4)
+  }
+
+  test("CoNLL multi-file read: file boundaries start new sentences, path order is deterministic") {
+    val d = Files.createTempDirectory("graft_conll")
+    Files.writeString(d.resolve("a.conll"), "x1 A\nx2 B\n")   // no trailing blank
+    Files.writeString(d.resolve("b.conll"), "y1 C\n\ny2 D\n")
+    val df = Formats.readConll(spark, s"$d/*.conll")
+    val sents = df.groupBy("sentence_id")
+      .agg(concat_ws(" ", transform(
+        sort_array(collect_list(struct(col("line_no"), col("word")))),
+        x => x.getField("word"))).as("words"))
+      .orderBy("sentence_id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // file a = sentence 0; file b starts a NEW sentence even though a has no
+    // trailing blank line; b's own blank line then opens sentence 2
+    assert(sents == Map(0L -> "x1 x2", 1L -> "y1", 2L -> "y2"), s"got $sents")
+  }
+
   test("CoNLL extreme drops pattern rows before segmentation (cn_data_manager.py:146-172)") {
     val path = tmpFile("c2.conll", "a O\n， O\nb B-PER\n")
     val df = Formats.readConllExtreme(spark, path, dropPattern = "， O")
@@ -93,6 +127,23 @@ class FormatsSpec extends SparkSpecBase {
     assert(got("2016") == Seq(7f))
     // empty file: empty DataFrame, not a first() crash
     assert(Formats.readEmbeddingTxt(spark, tmpFile("e4.txt", "")).count() == 0)
+  }
+
+  test("embedding source: per-file positional header drop on a multi-file glob") {
+    val d = Files.createTempDirectory("graft_emb")
+    // file a HAS a header; file b is headerless and its first line is a
+    // valid dim-1 data row "2 1" (word "2", vector [1.0]) — value-equality
+    // filtering against a's header would silently kill it; a MID-file row
+    // equal to a's header ("2 1" in file a) must survive too
+    Files.writeString(d.resolve("a.txt"), "2 1\nalpha 0.5\n2 1\n")
+    Files.writeString(d.resolve("b.txt"), "2 1\nbeta 1.5\n")
+    val got = Formats.readEmbeddingTxt(spark, s"$d/*.txt", dim0 = 1).collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toSeq
+    // a's offset-0 header dropped; BOTH "2 1" data rows (mid-file a,
+    // first-line b... b's offset-0 line is header-looking so it IS dropped)
+    assert(got.toMap == Map("alpha" -> Seq(0.5f), "2" -> Seq(1f), "beta" -> Seq(1.5f)),
+      s"got $got")
+    assert(got.count(_._1 == "2") == 1) // exactly one "2 1" survivor (mid-file a)
   }
 
   test("OntoNotes4 .name XML → char BMES sentences (ontonotes4.py:18-120)") {

@@ -61,6 +61,23 @@ class PipelineSpec extends SparkSpecBase {
     // boundary context stitching must reproduce every cross-turn triple
     assert(sorted(Triples.run(canon, chunkTurns = 3)) == viaWindow)
     assert(sorted(Triples.run(canon, chunkTurns = 2)) == viaWindow)
+    // dictionary-encoded hot path (the Pipeline default since round 4)
+    assert(sorted(Triples.runEncoded(canon, Pipeline.transcriptsDict)) == viaWindow)
+    assert(sorted(Triples.runEncoded(canon, Pipeline.transcriptsDict, chunkTurns = 3)) == viaWindow)
+  }
+
+  test("encoded path fails LOUDLY on a canonical_id missing from the dict") {
+    import spark.implicits._
+    val canon = Seq(
+      CanonMention("c1", 0, 0, 3, "PER", "x", "PER00", "PER00"),
+      CanonMention("c1", 0, 5, 8, "PER", "x", "ZZZ99", "ZZZ99")).toDS()
+    val dict = TripleDict(Seq("PER"), Seq("PER00"))
+    val e = intercept[Exception] {
+      Triples.runEncoded(canon, dict).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("canonical_id not in dict")), s"got: ${msgs(e)}")
   }
 
   test("property: chunked ≡ window ≡ join on random sparse corpora × random chunk sizes") {
@@ -88,6 +105,11 @@ class PipelineSpec extends SparkSpecBase {
       assert(sorted(Triples.run(canon, chunkTurns = chunk)) == viaWindow,
         s"trial $trial chunkTurns=$chunk diverged")
       assert(sorted(Triples.runJoinBased(canon)) == viaWindow, s"trial $trial join diverged")
+      // encoded path: dict covers every id the random generator can emit
+      val dict = TripleDict(labels.toSeq,
+        for (l <- labels.toSeq; i <- 0 until 5) yield s"$l$i")
+      assert(sorted(Triples.runEncoded(canon, dict, chunkTurns = chunk)) == viaWindow,
+        s"trial $trial encoded chunkTurns=$chunk diverged")
     }
   }
 
@@ -107,6 +129,9 @@ class PipelineSpec extends SparkSpecBase {
     val chunked = sorted(Triples.run(canon, chunkTurns = 50))
     assert(chunked == sorted(Triples.runWindow(canon)))
     assert(chunked.exists(_.conv_id == "huge") && chunked.exists(_.conv_id == "c0"))
+    val dict = TripleDict(Seq("PER"),
+      (0 until 7).map(i => s"P$i") ++ (0 until 60).map(i => s"Q$i"))
+    assert(sorted(Triples.runEncoded(canon, dict, chunkTurns = 50)) == chunked)
   }
 
   test("canonicalization resolves sibling org ids to component min") {

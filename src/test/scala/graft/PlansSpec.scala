@@ -66,10 +66,38 @@ class PlansSpec extends SparkSpecBase {
     assert(nEx == 1, s"expected exactly 1 exchange, got $nEx:\n$p")
   }
 
+  test("encoded triple assembly: ONE shuffle exchange of packed longs, dict joins broadcast") {
+    val canon = (0 until 40).map(i =>
+      CanonMention(s"c${i % 4}", i / 4, 0, 5, "PER", "x", s"PER$i", s"PER$i")).toDS()
+    val dict = TripleDict(Seq("PER"), (0 until 40).map(i => s"PER$i"))
+    val p = plan(Triples.runEncoded(canon, dict, chunkTurns = 2).toDF())
+    // the entity-rank encode must be a broadcast hash join (the mention side
+    // never shuffles for it), and the assembly itself must keep the single
+    // hash(conv_id, chunk) exchange — now carrying 8-byte longs per mention
+    // instead of ~40-byte string structs
+    assert(p.contains("BroadcastHashJoin"), s"dict encode must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join allowed:\n$p")
+    val nShuffle = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nShuffle == 1, s"expected exactly 1 shuffle exchange, got $nShuffle:\n$p")
+    // the exchanged mention column is the packed long, not the raw strings
+    assert(p.contains("_m"), s"packed column missing from plan:\n$p")
+  }
+
   test("brute-force top-k broadcasts the query side, not the corpus") {
     val emb = (0 until 10).map(i => (i.toLong, Array.fill(4)(i.toFloat))).toDF("vec_id", "embedding")
     val p = plan(graft.ops.Similarity.bruteForceTopK(emb.filter($"vec_id" < 2), emb, 3))
     assert(p.contains("BroadcastNestedLoopJoin"), s"expected broadcast cross join:\n$p")
+  }
+
+  test("readConll plans fully distributed: no global window, no single-partition coalesce") {
+    val d = java.nio.file.Files.createTempDirectory("graft_plan_conll")
+    java.nio.file.Files.writeString(d.resolve("x.conll"), "a O\nb O\n\nc O\n")
+    val df = graft.io.Formats.readConll(spark, s"$d/x.conll")
+    val p = plan(df)
+    assert(!p.contains("Window"), s"serial window survived:\n$p")
+    assert(!p.contains("SinglePartition") && !p.contains("Coalesce 1"),
+      s"single-partition stage survived:\n$p")
+    graft.io.SnapshotIO.deleteRecursively(d)
   }
 
   test("whole-stage codegen covers the scalar text-analysis path") {
