@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.stages.{Detect, Link}
+import graft.synth.Transcripts
+
+/** Fuzzy-link stage benchmark (BENCH.md §fuzzy-link): measures
+  * `Link.run(enableFuzzy = true)` against a DEGRADED alias dictionary —
+  * 30% of aliases dropped deterministically — so a realistic share of
+  * mentions misses the exact broadcast join and exercises the MinHash-LSH
+  * recovery pass (the stand-in for the reference's SBert candidate
+  * ranking, `label_counter.py:56-75`). Mentions are materialized before
+  * timing, so the measured wall is the LINK stage alone.
+  *
+  * Usage: runMain graft.LinkBench [nConvs] [cores]
+  */
+object LinkBench {
+  def main(args: Array[String]): Unit = {
+    val nConvs = if (args.length > 0) args(0).toLong else 660000L
+    val cores = if (args.length > 1) args(1).toInt else 32
+    new java.io.File("/dev/shm/graft-spark").mkdirs()
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", "128")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // the tagger keeps the FULL dictionary (mention detection unchanged);
+    // the LINK dictionary loses (a) every sibling-id alias (Acme
+    // Corporation / Globex / Initech — fuzzy-RECOVERABLE via their surviving
+    // near-duplicate surfaces) and (b) every 4th person (no near candidate →
+    // genuine NILs). ~30% of mention volume misses exactly and enters the
+    // LSH pass, which both recovers and rejects.
+    val degraded = Transcripts.aliasRows.zipWithIndex.filterNot { case (r, i) =>
+      r.entity_id.endsWith("b") || (r.label == "PER" && i % 4 == 0)
+    }.map(_._1)
+    System.err.println(s"[linkbench] aliases ${Transcripts.aliasRows.size} -> ${degraded.size}")
+    val degradedDf = degraded.toDF()
+
+    def mentionsFor(n: Long) = {
+      val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
+      Detect.run(Transcripts.turns(spark, n), tagger)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    // warmup at 1/10 scale (LSH fit/transform codegen + shuffle plans)
+    val warm = mentionsFor(math.max(20L, nConvs / 10))
+    warm.count()
+    Link.run(warm, degradedDf, fuzzyMaxJaccardDist = 0.8, enableFuzzy = true).count()
+    warm.unpersist()
+
+    val mentions = mentionsFor(nConvs)
+    val nMentions = mentions.count() // materialize OUTSIDE the timed window
+    val linkedDf = Link.run(mentions, degradedDf, fuzzyMaxJaccardDist = 0.8, enableFuzzy = true)
+    val t0 = System.nanoTime()
+    val byMethod = linkedDf.groupBy(col("method")).count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("nil") -> r.getLong(1)).toMap
+    val sec = (System.nanoTime() - t0) / 1e9
+    // plan audit: the alias side of every join must be the broadcast side
+    val plan = linkedDf.queryExecution.executedPlan.toString
+    val nSmj = "SortMergeJoin".r.findAllIn(plan).length
+    val nBhj = "BroadcastHashJoin".r.findAllIn(plan).length
+    System.err.println(s"[linkbench] plan joins: broadcast=$nBhj sortmerge=$nSmj")
+    val exact = byMethod.getOrElse("exact", 0L)
+    val fuzzy = byMethod.getOrElse("fuzzy", 0L)
+    val nil = byMethod.getOrElse("nil", 0L)
+    println(f"""{"metric":"fuzzy_link","mentions":$nMentions,"exact":$exact,"fuzzy":$fuzzy,"nil":$nil,"sec":$sec%.1f,"mentions_per_sec":${nMentions / sec}%.0f}""")
+    spark.stop()
+  }
+}
+
+/** Streaming throughput evidence (BENCH.md §streaming): rate source →
+  * synthetic turns → in-stream detect + broadcast-dictionary link +
+  * static canonical map → `StreamingTriples.assembleWithEviction`
+  * (`flatMapGroupsWithState`) → noop sink. The requested rate is set ABOVE
+  * the expected capacity so the measurement is the pipeline's maximum
+  * sustainable turns/s, not the generator's; state growth and batch
+  * durations come from the query progress feed.
+  *
+  * Usage: runMain graft.StreamBench [rowsPerSec] [seconds] [cores]
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val rowsPerSec = if (args.length > 0) args(0).toLong else 500000L
+    val seconds = if (args.length > 1) args(1).toInt else 45
+    val cores = if (args.length > 2) args(2).toInt else 8
+    new java.io.File("/dev/shm/graft-spark").mkdirs()
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.sql.adaptive.enabled", "false") // streaming plans
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
+    // exact-link + canonicalization as broadcast maps (the streaming analog
+    // of the batch broadcast joins; the canonical map is the CC output,
+    // static during a stream)
+    val aliasMap = spark.sparkContext.broadcast(
+      Transcripts.aliasRows.map(r =>
+        (r.surface.toLowerCase(java.util.Locale.ROOT), r.label) -> r.entity_id).toMap)
+    val canonMap = spark.sparkContext.broadcast(Transcripts.canonicalOf)
+
+    val turns = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSec.toString)
+      .option("numPartitions", cores.toString)
+      .load()
+      .select(col("value"), col("timestamp"))
+      .as[(Long, java.sql.Timestamp)]
+      .map { case (id, ts) =>
+        // 20-turn conversations, turn text from the deterministic generator;
+        // event time = rate-source time (live watermark)
+        val (t, _) = Transcripts.makeTurn(id / 20, (id % 20).toInt, 42L)
+        Turn(t.conv_id, t.turn_idx, t.role, t.text, t.tool, ts)
+      }
+
+    val mentions = turns.mapPartitions { it =>
+      val tg = tagger.value
+      val am = aliasMap.value
+      val cm = canonMap.value
+      it.grouped(Detect.BatchSize).flatMap { chunk =>
+        val sorted = chunk.sortBy(-_.text.length)
+        sorted.iterator.zip(tg.spanBatch(sorted.map(_.text)).iterator).flatMap {
+          case (turn, spans) =>
+            spans.iterator.flatMap { sp =>
+              am.get((sp.surface.toLowerCase(java.util.Locale.ROOT), sp.label))
+                .map { eid =>
+                  graft.streaming.StreamingTriples.TimedCanonMention(
+                    turn.conv_id, turn.turn_idx, sp.start, sp.end, sp.label,
+                    sp.surface, eid, cm.getOrElse(eid, eid), turn.ts)
+                }
+            }
+        }
+      }
+    }
+
+    val triples = graft.streaming.StreamingTriples
+      .assembleWithEviction(mentions, watermark = "30 seconds", idleGap = "15 seconds")
+
+    val q = triples.writeStream.format("noop").outputMode("append").start()
+    val t0 = System.nanoTime()
+    q.awaitTermination(seconds * 1000L)
+    q.stop()
+    q.awaitTermination()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+
+    val ps = q.recentProgress.filter(_.numInputRows > 0)
+    val turnsIn = ps.map(_.numInputRows).sum
+    val triplesOut = ps.map(p => Option(p.sink).map(_.numOutputRows).getOrElse(0L))
+      .filter(_ > 0).sum
+    val batchSecs = ps.flatMap(p =>
+      Option(p.durationMs.get("triggerExecution")).map(_.toDouble / 1000))
+    val avgBatch = if (batchSecs.isEmpty) 0.0 else batchSecs.sum / batchSecs.length
+    val maxState = ps.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+    println(f"""{"metric":"streaming_triples","requested_rows_per_sec":$rowsPerSec,"elapsed_sec":$elapsed%.1f,"turns_in":$turnsIn,"turns_per_sec":${turnsIn / elapsed}%.0f,"triples_out":$triplesOut,"batches":${ps.length},"avg_batch_sec":$avgBatch%.2f,"max_state_rows":$maxState}""")
+    spark.stop()
+  }
+}

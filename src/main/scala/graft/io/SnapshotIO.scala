@@ -1,7 +1,7 @@
 package graft.io
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Iceberg-shaped snapshot layer over partitioned Parquet (SURVEY.md §7.1:
@@ -13,14 +13,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   <base>/<stage>/snapshot=<inputHash>/          ← parquet data
   *   <base>/<stage>/snapshot=<inputHash>/_manifest.json
   *
-  * Commit protocol: data is written to a `_tmp_` directory and atomically
-  * renamed into place, the manifest written last — a crashed run leaves
-  * either no snapshot or a `_tmp_` orphan, never a half-committed snapshot
-  * that resume would trust (mirrors the reference's etag-keyed pickle cache,
+  * Two commit protocols share the layout, the resume path, and the crash
+  * contract (a crashed run leaves either no snapshot or an untrusted
+  * orphan, never a half-committed snapshot that resume would trust —
+  * mirrors the reference's etag-keyed pickle cache,
   * `CC/loaders/utils/cache_manager.py:7-45` + `reader.py:31-51`, with
-  * content hash in place of S3 etag).
+  * content hash in place of S3 etag):
+  *
+  *   - [[SnapshotIO.AtomicRename]] (POSIX/HDFS): data written to a
+  *     uuid-suffixed `_tmp_` dir, atomically renamed into place, manifest
+  *     written last (the commit point).
+  *   - [[SnapshotIO.ManifestPointer]] (object stores — the real 100 TB
+  *     home of this layout has no atomic directory rename): data written
+  *     under an IMMUTABLE `data-<uuid>` dir that is never moved; commit =
+  *     creating `_manifest.json` naming that dir (a single small object
+  *     PUT — the one atomic primitive object stores provide). Losers of a
+  *     commit race delete only their own uuid dir.
+  *
+  * Resume reads whatever the manifest names, so a workDir written under
+  * either protocol resumes under both.
   */
 object SnapshotIO {
+
+  sealed trait CommitProtocol
+  /** POSIX/HDFS commit: atomic directory rename, then manifest. */
+  case object AtomicRename extends CommitProtocol
+  /** Object-store commit: immutable uuid data dir + manifest-pointer PUT. */
+  case object ManifestPointer extends CommitProtocol
+
+  /** Orphans (crashed writers' `_tmp_`/uncommitted `data-*` dirs) younger
+    * than this are NOT swept: they may belong to a live concurrent writer
+    * (the one-writer-per-snapshot contract is documented, not enforced —
+    * sweeping a peer's in-flight dir would fail that peer spuriously).
+    */
+  val OrphanTtlMs: Long = 60L * 60 * 1000
 
   def snapshotDir(base: String, stage: String, inputHash: String): Path =
     Paths.get(base, stage, s"snapshot=$inputHash")
@@ -34,23 +60,35 @@ object SnapshotIO {
     * accumulator-backed counters carry the write action's totals — they
     * land in the manifest for lineage).
     *
-    * Concurrency contract: one writer per (base, stage, inputHash). Each
-    * attempt writes to its OWN uuid-suffixed `_tmp_` dir (two racing
-    * writers can no longer interleave rows in a shared tmp), and losing
-    * the final rename race is treated as "committed by the other writer" —
-    * but a concurrent orphan SWEEP can still delete a peer's in-flight tmp,
-    * which fails that peer loudly (never corrupts the committed snapshot).
+    * Counter caveat: accumulator-fed counters are updated inside
+    * transformations, so task retries / speculative execution can
+    * double-count them — on a retry-free run they are exact; treat them as
+    * lineage telemetry, and use the manifest's `rows` field (counted from
+    * the snapshot as stored) where exactness matters.
+    *
+    * Concurrency contract: one writer per (base, stage, inputHash). Racing
+    * writers are tolerated, not coordinated: each attempt writes to its OWN
+    * uuid-suffixed dir, commit re-checks for a winner immediately before
+    * publishing, and a loser removes only its own uuid dir. Under
+    * [[AtomicRename]] a microscopic window remains between the final
+    * is-committed re-check and the rename (inherent to rename-based
+    * commit); [[ManifestPointer]] closes it completely (create-new manifest
+    * PUT is the single commit point).
     */
   def resumeOrCompute(spark: SparkSession, base: String, stage: String,
                       inputHash: String,
-                      counters: => Map[String, Long] = Map.empty)
+                      counters: => Map[String, Long] = Map.empty,
+                      protocol: CommitProtocol = AtomicRename)
                      (compute: => DataFrame): DataFrame = {
     val dir = snapshotDir(base, stage, inputHash)
     if (!isCommitted(base, stage, inputHash)) {
-      // sweep crash orphans from previous attempts (any uuid)
-      sweepTmp(dir)
-      val tmp = dir.getParent.resolve(
-        s"_tmp_${dir.getFileName}_${java.util.UUID.randomUUID().toString.take(8)}")
+      sweepOrphans(dir)
+      val uuid = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = protocol match {
+        case AtomicRename =>
+          dir.getParent.resolve(s"_tmp_${dir.getFileName}_$uuid")
+        case ManifestPointer => dir.resolve(s"data-$uuid")
+      }
       val df = compute
       df.write.mode("overwrite").parquet(tmp.toString)
       // per-FILE lineage counters over the snapshot as STORED (north_rule:
@@ -73,43 +111,101 @@ object SnapshotIO {
       partCounts.coalesce(1).write.mode("overwrite")
         .parquet(Paths.get(base, "_metrics", stage, inputHash).toString)
       partCounts.unpersist()
-      deleteRecursively(dir)
-      Files.createDirectories(dir.getParent)
-      val won =
-        try { Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE); true }
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException |
-               _: java.nio.file.DirectoryNotEmptyException =>
-            deleteRecursively(tmp) // a concurrent writer committed first
-            false
-        }
-      if (won) {
+
+      def manifestJson(dataDir: Option[String]): String = {
         val counterJson = (counters + ("rows" -> rows))
           .map { case (k, v) => s""""$k":$v""" }.mkString(",")
-        val manifest =
-          s"""{"stage":"$stage","input_hash":"$inputHash","rows":$rows,
-             |"committed_at":"${java.time.Instant.now()}","counters":{$counterJson}}"""
-            .stripMargin.replace("\n", "")
-        // manifest last = commit point
-        Files.write(dir.resolve("_manifest.json"),
-          manifest.getBytes(StandardCharsets.UTF_8))
+        val dataField = dataDir.map(d => s""""data_dir":"$d",""").getOrElse("")
+        s"""{"stage":"$stage","input_hash":"$inputHash",$dataField"rows":$rows,
+           |"committed_at":"${java.time.Instant.now()}","counters":{$counterJson}}"""
+          .stripMargin.replace("\n", "")
+      }
+
+      protocol match {
+        case AtomicRename =>
+          // re-check for a concurrent winner IMMEDIATELY before the
+          // destructive steps: without it, a writer that raced past the
+          // entry check could delete a snapshot another writer committed
+          // meanwhile (ADVICE r3); the remaining check→delete window is
+          // inherent to rename-based commit — use ManifestPointer where
+          // that matters
+          if (isCommitted(base, stage, inputHash)) {
+            deleteRecursively(tmp)
+          } else {
+            deleteRecursively(dir)
+            Files.createDirectories(dir.getParent)
+            val won =
+              try { Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE); true }
+              catch {
+                case _: java.nio.file.FileAlreadyExistsException |
+                     _: java.nio.file.DirectoryNotEmptyException =>
+                  deleteRecursively(tmp) // a concurrent writer committed first
+                  false
+              }
+            if (won)
+              Files.write(dir.resolve("_manifest.json"), // manifest last = commit point
+                manifestJson(None).getBytes(StandardCharsets.UTF_8))
+          }
+        case ManifestPointer =>
+          // commit = create-new manifest PUT; the data dir is never moved.
+          // CREATE_NEW makes the publish atomic-or-lose: exactly one racing
+          // writer's manifest lands, losers remove their own uuid dir.
+          try
+            Files.write(dir.resolve("_manifest.json"),
+              manifestJson(Some(tmp.getFileName.toString))
+                .getBytes(StandardCharsets.UTF_8),
+              StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              deleteRecursively(tmp) // lost the publish race
+          }
       }
     }
-    spark.read.parquet(dir.toString)
+    readSnapshot(spark, dir)
   }
 
-  /** Delete every `_tmp_<snapshot dirname>*` orphan beside `dir`. */
-  private def sweepTmp(dir: Path): Unit =
-    if (Files.exists(dir.getParent)) {
-      val prefix = s"_tmp_${dir.getFileName}"
-      val ls = Files.list(dir.getParent)
-      try {
-        import scala.jdk.CollectionConverters._
-        ls.iterator().asScala.toSeq
-          .filter(_.getFileName.toString.startsWith(prefix))
-          .foreach(deleteRecursively)
-      } finally ls.close()
-    }
+  /** Read a committed snapshot: the manifest's `data_dir` pointer when
+    * present (ManifestPointer commits), the snapshot dir itself otherwise
+    * (AtomicRename commits) — so mixed-protocol workDirs resume cleanly.
+    */
+  def readSnapshot(spark: SparkSession, dir: Path): DataFrame = {
+    val manifest = dir.resolve("_manifest.json")
+    val target =
+      if (Files.exists(manifest)) {
+        val txt = new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
+        """"data_dir":"([^"]+)"""".r.findFirstMatchIn(txt) match {
+          case Some(m) => dir.resolve(m.group(1))
+          case None => dir
+        }
+      } else dir
+    spark.read.parquet(target.toString)
+  }
+
+  /** Delete crash orphans beside/inside `dir`: `_tmp_<snapshot>*` siblings
+    * (AtomicRename) and uncommitted `data-*` children (ManifestPointer —
+    * only when no manifest exists; committed uuid dirs are never swept).
+    * Orphans younger than [[OrphanTtlMs]] are kept — they may be a live
+    * peer's in-flight write.
+    */
+  private def sweepOrphans(dir: Path): Unit = {
+    def sweep(parent: Path, matches: String => Boolean): Unit =
+      if (Files.exists(parent)) {
+        val ls = Files.list(parent)
+        try {
+          import scala.jdk.CollectionConverters._
+          val now = System.currentTimeMillis()
+          ls.iterator().asScala.toSeq
+            .filter(p => matches(p.getFileName.toString))
+            .filter(p =>
+              try now - Files.getLastModifiedTime(p).toMillis > OrphanTtlMs
+              catch { case _: java.io.IOException => false })
+            .foreach(deleteRecursively)
+        } finally ls.close()
+      }
+    sweep(dir.getParent, _.startsWith(s"_tmp_${dir.getFileName}"))
+    if (!Files.exists(dir.resolve("_manifest.json")))
+      sweep(dir, _.startsWith("data-"))
+  }
 
   /** All lineage rows recorded under `base` (stage, snapshot, partition_id,
     * rows) — the queryable metrics table.

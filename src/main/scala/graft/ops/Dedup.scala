@@ -209,10 +209,13 @@ object Dedup {
     * Web-scale shape: the band join shuffles ONLY (band, key, doc_id) — the
     * shingle arrays never enter its exchange (plan-asserted in OpsSpec);
     * surviving candidate ids join BACK to the shingle relation for the
-    * exact check. The shingle flatMap lineage is therefore evaluated once
-    * per consumer (signatures + two join-back sides) — pure string work
-    * with no md5; in a production pipeline the shingle set would be a
-    * materialized column and the re-evaluation disappears.
+    * exact check. The shingle relation feeds THREE consumers (signatures +
+    * two join-back sides), so it is materialized once via an eager
+    * `localCheckpoint` — the production "materialized shingle column"
+    * shape — instead of re-running the flatMap lineage per consumer
+    * (checkpoint blocks are reclaimed by the ContextCleaner once the
+    * returned plan is GC'd, unlike a cache() the caller could never
+    * unpersist).
     */
   def minhash60Pairs(docs: DataFrame, k: Int = 3, numPerms: Int = 8,
                      rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame = {
@@ -223,7 +226,7 @@ object Dedup {
       .flatMap { case (id, text) =>
         val grams = kShingles(text, k)
         if (grams.isEmpty) None else Some((id, grams.toSeq))
-      }.toDF("doc_id", "shingles")
+      }.toDF("doc_id", "shingles").localCheckpoint(true)
     val sig = sh.as[(Long, Seq[String])].map { case (id, grams) =>
       (id, Seq.tabulate(numPerms)(i =>
         grams.iterator.map(g => md5Hash60(s"$i:$g")).min))

@@ -53,7 +53,12 @@ object Canon {
         .filter(col("src") =!= col("dst"))
         .select(least(col("src"), col("dst")).as("src"),
           greatest(col("src"), col("dst")).as("dst"))
-        .distinct()
+      // NO intermediate distinct: min-based relinking is duplicate-tolerant
+      // (groupBy-min and the join read a multiset exactly as a set), the
+      // duplicate volume is bounded by the input edge count, and smallStar's
+      // trailing distinct re-canonicalizes each ROUND's output — dropping
+      // this dedup removes one of the four per-round shuffles (measured in
+      // graft.CCBench; round counts and outputs unchanged, CanonSpec)
     }
 
     def smallStar(e: DataFrame): DataFrame = {

@@ -185,7 +185,10 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
   * their own (conv_id, turn_idx) keys; no global order is assumed.
   *
   * Per-partition counters (turns_in, mentions_out) feed the metrics table
-  * (north_rule lineage).
+  * (north_rule lineage). They are updated inside a TRANSFORMATION, so task
+  * retries and speculative execution can double-count them — exact on a
+  * retry-free run, telemetry otherwise; the snapshot manifest's `rows`
+  * field (counted from the stored output) is the exact figure.
   */
 object Detect {
   val BatchSize = 64

@@ -137,14 +137,20 @@ object Pipeline {
     * `version` (it is folded into the snapshot key) or clear the workDir;
     * otherwise resume will faithfully serve the previous code's committed
     * outputs.
+    *
+    * @param protocol snapshot commit protocol: `AtomicRename` for
+    *        POSIX/HDFS workdirs, `ManifestPointer` for object stores
+    *        (no directory rename anywhere in the commit path).
     */
   def runWithSnapshots(spark: SparkSession, nConvs: Long, workDir: String,
-                       seed: Long = 42L, version: String = ""): DataFrame = {
+                       seed: Long = 42L, version: String = "",
+                       protocol: SnapshotIO.CommitProtocol = SnapshotIO.AtomicRename): DataFrame = {
     import spark.implicits._
     val inputKey = s"n${nConvs}_s$seed" +
       (if (version.isEmpty) "" else s"_v$version")
 
-    val turnsDf = SnapshotIO.resumeOrCompute(spark, workDir, "transcripts", inputKey) {
+    val turnsDf = SnapshotIO.resumeOrCompute(spark, workDir, "transcripts", inputKey,
+        protocol = protocol) {
       Transcripts.turns(spark, nConvs, seed).toDF()
     }
     val turns = turnsDf.as[Turn]
@@ -155,23 +161,27 @@ object Pipeline {
     val turnsIn = spark.sparkContext.longAccumulator("detect_turns_in")
     val mentionsOut = spark.sparkContext.longAccumulator("detect_mentions_out")
     val mentions = SnapshotIO.resumeOrCompute(spark, workDir, "mentions", inputKey,
-      counters = Map("turns_in" -> turnsIn.value, "mentions_out" -> mentionsOut.value)) {
+      counters = Map("turns_in" -> turnsIn.value, "mentions_out" -> mentionsOut.value),
+      protocol = protocol) {
       val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
       Detect.run(turns, tagger, Some(turnsIn), Some(mentionsOut)).toDF()
     }
 
-    val linked = SnapshotIO.resumeOrCompute(spark, workDir, "linked", inputKey) {
+    val linked = SnapshotIO.resumeOrCompute(spark, workDir, "linked", inputKey,
+        protocol = protocol) {
       // the snapshot flow is the place for fuzzy NIL-recovery: it runs as
       // its own committed stage, so the LSH jobs + persist don't sit inside
       // a hot single-action chain
       Link.run(mentions.as[Mention], Transcripts.aliasRows.toDF(), enableFuzzy = true).toDF()
     }
 
-    val canon = SnapshotIO.resumeOrCompute(spark, workDir, "canon", inputKey) {
+    val canon = SnapshotIO.resumeOrCompute(spark, workDir, "canon", inputKey,
+        protocol = protocol) {
       Canon.run(linked.as[LinkedMention], Transcripts.sameAs.toDF("src", "dst")).toDF()
     }
 
-    val triples = SnapshotIO.resumeOrCompute(spark, workDir, "triples", inputKey) {
+    val triples = SnapshotIO.resumeOrCompute(spark, workDir, "triples", inputKey,
+        protocol = protocol) {
       Triples.runEncoded(canon.as[CanonMention], transcriptsDict).toDF()
     }
 

@@ -98,6 +98,19 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("minhash60 shingle relation is materialized once (checkpointed), not re-derived per consumer") {
+    val df = Dedup.minhash60Pairs(docs, k = 3, threshold = 0.4)
+    // the shingle flatMap feeds signatures + two join-back sides; an eager
+    // localCheckpoint turns all three consumers into scans of the SAME
+    // materialized RDD — the plan must show checkpoint scans and contain no
+    // surviving MapPartitions/DeserializeToObject lineage for the shingles
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"expected checkpointed shingle scans in:\n$p")
+    assert(!p.contains("MapPartitions"),
+      s"shingle flatMap lineage must not survive into the pair plan:\n$p")
+  }
+
   test("simhash: identical docs get identical sketches; near-dups low hamming") {
     val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(0L) == sh(1L))

@@ -191,6 +191,37 @@ class ResumeSpec extends SparkSpecBase {
     assert(rows1 == rows4)
     graft.io.SnapshotIO.deleteRecursively(java.nio.file.Paths.get(dir))
   }
+
+  test("manifest-pointer commit (object-store protocol): resume matrix without any rename") {
+    import graft.io.SnapshotIO
+    val dir = java.nio.file.Files.createTempDirectory("graft_snapmp").toString
+    def run() = Pipeline
+      .runWithSnapshots(spark, 30, dir, protocol = SnapshotIO.ManifestPointer)
+      .orderBy("conv_id", "turn_idx", "subj", "pred", "obj").collect().toSeq
+    val rows1 = run()
+    assert(rows1.nonEmpty)
+    // layout: data lives under an immutable data-<uuid> dir named by the
+    // manifest; nothing was ever renamed into place
+    val snapDir = SnapshotIO.snapshotDir(dir, "triples", "n30_s42")
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      snapDir.resolve("_manifest.json")))
+    assert(manifest.contains("\"data_dir\":\"data-"), manifest)
+    // plain rerun resumes every stage (byte-stable)
+    assert(run() == rows1)
+    // crash-mid-write: an uncommitted data-<uuid> orphan beside a DELETED
+    // manifest must not be trusted — stage recomputes and re-publishes
+    java.nio.file.Files.delete(snapDir.resolve("_manifest.json"))
+    java.nio.file.Files.createDirectories(snapDir.resolve("data-deadbeef"))
+    java.nio.file.Files.writeString(
+      snapDir.resolve("data-deadbeef").resolve("junk.parquet"), "garbage")
+    assert(run() == rows1)
+    // mixed-protocol resume: a workdir committed under ManifestPointer
+    // resumes under the default (AtomicRename) entry point too
+    val mixed = Pipeline.runWithSnapshots(spark, 30, dir)
+      .orderBy("conv_id", "turn_idx", "subj", "pred", "obj").collect().toSeq
+    assert(mixed == rows1)
+    SnapshotIO.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
 }
 
 class CanonSpec extends SparkSpecBase {
