@@ -60,7 +60,8 @@ object ProfilePure {
       val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
       Triples.runEncoded(Canon.run(
         Link.run(Detect.run(Transcripts.turns(spark, nConvs), tagger), alias),
-        Transcripts.sameAs.toDF("src", "dst")), Pipeline.transcriptsDict).count()
+        Transcripts.sameAs.toDF("src", "dst")), Pipeline.transcriptsDict,
+        convCodec = Some(Pipeline.transcriptsConvCodec)).count()
     }
     spark.stop()
   }

@@ -22,6 +22,17 @@ object Pipeline {
     Transcripts.aliasRows.map(_.entity_id) ++
       Transcripts.sameAs.flatMap(p => Seq(p._1, p._2)))
 
+  /** conv_id codec for the synthetic corpus (`conv_%08d`, Transcripts):
+    * numeric-derivable ids let the triple exchange carry an 8-byte long
+    * instead of the 13-char id string. The rlike guard keeps the ANSI cast
+    * from throwing its own error on malformed ids — they flow to
+    * runEncoded's loud raise_error instead.
+    */
+  private[graft] val transcriptsConvCodec: Triples.ConvCodec = Triples.ConvCodec(
+    encode = c => when(c.rlike("^conv_\\d{8,18}$"),
+      substring(c, 6, 18).cast("long")),
+    decode = v => f"conv_$v%08d")
+
   /** Lazily-built pipeline stages. Nothing runs at construction time: the
     * connected-components loop (which needs Spark actions of its own) only
     * executes when `canon`/`triples` is first touched, so a consumer of
@@ -46,7 +57,8 @@ object Pipeline {
     lazy val canon: DataFrame =
       Canon.run(linked.as[LinkedMention], Transcripts.sameAs.toDF("src", "dst")).toDF()
     lazy val triples: DataFrame = {
-      val t = Triples.runEncoded(canon.as[CanonMention], Pipeline.transcriptsDict).toDF()
+      val t = Triples.runEncoded(canon.as[CanonMention], Pipeline.transcriptsDict,
+        convCodec = Some(Pipeline.transcriptsConvCodec)).toDF()
       if (persistTriples) {
         val p = t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         triplesPersisted = true
@@ -182,7 +194,8 @@ object Pipeline {
 
     val triples = SnapshotIO.resumeOrCompute(spark, workDir, "triples", inputKey,
         protocol = protocol) {
-      Triples.runEncoded(canon.as[CanonMention], transcriptsDict).toDF()
+      Triples.runEncoded(canon.as[CanonMention], transcriptsDict,
+        convCodec = Some(transcriptsConvCodec)).toDF()
     }
 
     // per-stage lineage metrics (rows per stage) — appended, not recomputed,

@@ -140,6 +140,19 @@ object Triples {
     */
   val MaxPackedStart: Int = 1 << 23
 
+  /** Opt-in conv_id codec for `runEncoded`: when the table's conv ids are
+    * numeric-derivable (common for transcript tables keyed by a sequence /
+    * snowflake id — the synthetic corpus' `conv_%08d` is), the exchange can
+    * carry an 8-byte long instead of the id string, which after the mention
+    * packing is the DOMINANT exchanged byte. `encode` must be a Catalyst
+    * expression (stays inside whole-stage codegen before the shuffle);
+    * `decode` runs in the emit flatMap and must invert `encode` on every
+    * conv_id in the table (equivalence property-tested for the synthetic
+    * format). An encode that nulls (unparsable id) fails LOUDLY.
+    */
+  final case class ConvCodec(encode: Column => Column, decode: Long => String)
+    extends Serializable
+
   /** Dictionary-encoded variant of `run` — the pipeline's hot path. The
     * triple exchange is the measured shuffle-byte ceiling of the whole flow
     * (BENCH.md stage breakdown: ~75% of pipeline wall at 18.2M turns), and
@@ -163,11 +176,18 @@ object Triples {
     * plan-asserted in PlansSpec).
     */
   def runEncoded(canon: Dataset[CanonMention], dict: TripleDict,
-                 chunkTurns: Int = DefaultChunkTurns): Dataset[Triple] = {
+                 chunkTurns: Int = DefaultChunkTurns,
+                 convCodec: Option[ConvCodec] = None): Dataset[Triple] = {
     require(chunkTurns >= 2, s"chunkTurns must be ≥ 2, got $chunkTurns")
     val spark = canon.sparkSession
     import spark.implicits._
 
+    val convKey: Column = convCodec match {
+      case Some(cc) => coalesce(cc.encode(col("conv_id")).cast("long"),
+        raise_error(concat(lit("Triples.runEncoded: convCodec failed on: "),
+          col("conv_id"))).cast("long"))
+      case None => col("conv_id")
+    }
     val eidDf = spark.createDataset(
         dict.entities.toIndexedSeq.zipWithIndex.map { case (e, i) => (e, i) })
       .toDF("_can", "_eid")
@@ -187,7 +207,7 @@ object Triples {
     val packed = canon
       .filter(col("canonical_id").isNotNull)
       .join(broadcast(eidDf), col("canonical_id") === col("_can"), "left")
-      .select(col("conv_id"), col("turn_idx"),
+      .select(convKey.as("_cid"), col("turn_idx"),
         (shiftleft(startChecked.cast("long"), 40) +
           shiftleft(lbChecked.cast("long"), 32) +
           eidChecked.cast("long")).as("_m"))
@@ -200,20 +220,26 @@ object Triples {
           array(struct(chunk.as("c"), lit(false).as("ctx")),
                 struct((chunk + 1).as("c"), lit(true).as("ctx"))))
         .otherwise(array(struct(chunk.as("c"), lit(false).as("ctx"))))))
-      .select(col("conv_id"), col("turn_idx"), col("_m"),
+      .select(col("_cid"), col("turn_idx"), col("_m"),
         col("_d.c").as("_chunk"), col("_d.ctx").as("_ctx"))
     val perTurn = dup
-      .repartition(col("conv_id"), col("_chunk"))
-      .groupBy(col("conv_id"), col("_chunk"), col("turn_idx"))
+      .repartition(col("_cid"), col("_chunk"))
+      .groupBy(col("_cid"), col("_chunk"), col("turn_idx"))
       .agg(sort_array(collect_list(col("_m"))).as("ms"), max(col("_ctx")).as("_ctx"))
-    val w = Window.partitionBy(col("conv_id"), col("_chunk")).orderBy(col("turn_idx"))
+    val w = Window.partitionBy(col("_cid"), col("_chunk")).orderBy(col("turn_idx"))
     val withPrev = perTurn
       .withColumn("prev_idx", lag(col("turn_idx"), 1).over(w))
       .withColumn("prev_ms", lag(col("ms"), 1).over(w))
       .filter(!col("_ctx"))
-      .select(col("conv_id"), col("turn_idx"), col("ms"),
+      .select(col("_cid"), col("turn_idx"), col("ms"),
         col("prev_idx"), col("prev_ms"))
-    emitPacked(withPrev, dict)(spark)
+    val getConv: org.apache.spark.sql.Row => String = convCodec match {
+      case Some(cc) =>
+        val dec = cc.decode
+        r => dec(r.getLong(0))
+      case None => _.getString(0)
+    }
+    emitPacked(withPrev, dict, getConv)(spark)
   }
 
   /** Growable long array with linear-scan dedup — per-turn triple counts are
@@ -258,7 +284,8 @@ object Triples {
     * no per-triple allocation beyond the output `Triple` itself).
     * Equivalence to the generic path is property-tested (PipelineSpec).
     */
-  private def emitPacked(withPrev: DataFrame, dict: TripleDict)
+  private def emitPacked(withPrev: DataFrame, dict: TripleDict,
+                         getConv: org.apache.spark.sql.Row => String)
                         (spark: SparkSession): Dataset[Triple] = {
     import spark.implicits._
     val bcEnts = spark.sparkContext.broadcast(dict.entities)
@@ -272,7 +299,7 @@ object Triples {
       val dedup = new PairDedup
       val out = new scala.collection.mutable.ArrayBuffer[Triple]()
       rows.flatMap { row =>
-        val convId = row.getString(0)
+        val convId = getConv(row)
         val turnIdx = row.getInt(1)
         val ms = longArray(row.getSeq[Long](2))
         val prevAdjacent = !row.isNullAt(3) && row.getInt(3) == turnIdx - 1

@@ -64,6 +64,24 @@ class PipelineSpec extends SparkSpecBase {
     // dictionary-encoded hot path (the Pipeline default since round 4)
     assert(sorted(Triples.runEncoded(canon, Pipeline.transcriptsDict)) == viaWindow)
     assert(sorted(Triples.runEncoded(canon, Pipeline.transcriptsDict, chunkTurns = 3)) == viaWindow)
+    // + numeric conv codec (exchange carries a long conv key, decode inverts)
+    assert(sorted(Triples.runEncoded(canon, Pipeline.transcriptsDict,
+      convCodec = Some(Pipeline.transcriptsConvCodec))) == viaWindow)
+    assert(sorted(Triples.runEncoded(canon, Pipeline.transcriptsDict, chunkTurns = 3,
+      convCodec = Some(Pipeline.transcriptsConvCodec))) == viaWindow)
+  }
+
+  test("conv codec fails LOUDLY on an id its encoder cannot parse") {
+    import spark.implicits._
+    val canon = Seq(
+      CanonMention("not_numeric", 0, 0, 3, "PER", "x", "PER00", "PER00")).toDS()
+    val e = intercept[Exception] {
+      Triples.runEncoded(canon, Pipeline.transcriptsDict,
+        convCodec = Some(Pipeline.transcriptsConvCodec)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("convCodec failed")), s"got: ${msgs(e)}")
   }
 
   test("encoded path fails LOUDLY on a canonical_id missing from the dict") {
