@@ -57,8 +57,11 @@ object LinkBench {
 
     val mentions = mentionsFor(nConvs)
     val nMentions = mentions.count() // materialize OUTSIDE the timed window
-    val linkedDf = Link.run(mentions, degradedDf, fuzzyMaxJaccardDist = 0.8, enableFuzzy = true)
+    // t0 BEFORE Link.run: the exact pass runs an EAGER localCheckpoint (plus
+    // the miss probe and LSH fit) inside the call, so timing only the final
+    // action would exclude most of the link stage's work
     val t0 = System.nanoTime()
+    val linkedDf = Link.run(mentions, degradedDf, fuzzyMaxJaccardDist = 0.8, enableFuzzy = true)
     val byMethod = linkedDf.groupBy(col("method")).count().collect()
       .map(r => Option(r.getString(0)).getOrElse("nil") -> r.getLong(1)).toMap
     val sec = (System.nanoTime() - t0) / 1e9

@@ -219,7 +219,11 @@ object Formats {
           StructField("embedding", ArrayType(FloatType)))))
     val headerFiles = firstLines.collect { case (f, l) if isHeader(l) => f }.toSeq
     val all0 = lines.toDF("_file", "_off", "value")
-    val all = if (maxScan > 0) all0.limit(maxScan + 1) else all0
+    // budget one extra line per header FILE (each is dropped below), so the
+    // cap still admits maxScan data lines on a multi-file glob; which lines
+    // survive an under-cap scan remains partition-order dependent (as it
+    // always was) — pass no cap for exact reads
+    val all = if (maxScan > 0) all0.limit(maxScan + headerFiles.size) else all0
     val noHeader0 = all.filter(length(trim(col("value"))) > 0)
     val noHeader = if (headerFiles.isEmpty) noHeader0
       else noHeader0.filter(

@@ -81,8 +81,12 @@ object SnapshotIO {
                       protocol: CommitProtocol = AtomicRename)
                      (compute: => DataFrame): DataFrame = {
     val dir = snapshotDir(base, stage, inputHash)
+    // unconditional: also reclaims data-* orphans from crashes that PRECEDED
+    // a successful commit (only unreferenced, age-gated dirs are touched, so
+    // the committed snapshot and live peers are safe) — without this, every
+    // crash-then-commit cycle would leak one full copy of the stage output
+    sweepOrphans(dir)
     if (!isCommitted(base, stage, inputHash)) {
-      sweepOrphans(dir)
       val uuid = java.util.UUID.randomUUID().toString.take(8)
       val tmp = protocol match {
         case AtomicRename =>
@@ -168,24 +172,38 @@ object SnapshotIO {
     * present (ManifestPointer commits), the snapshot dir itself otherwise
     * (AtomicRename commits) — so mixed-protocol workDirs resume cleanly.
     */
-  def readSnapshot(spark: SparkSession, dir: Path): DataFrame = {
-    val manifest = dir.resolve("_manifest.json")
-    val target =
-      if (Files.exists(manifest)) {
-        val txt = new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
-        """"data_dir":"([^"]+)"""".r.findFirstMatchIn(txt) match {
-          case Some(m) => dir.resolve(m.group(1))
-          case None => dir
-        }
-      } else dir
-    spark.read.parquet(target.toString)
+  def readSnapshot(spark: SparkSession, dir: Path): DataFrame =
+    spark.read.parquet(
+      manifestDataDir(dir).map(dir.resolve).getOrElse(dir).toString)
+
+  /** Newest modification time of `p` or any of its DIRECT children — a
+    * writer's in-flight dir keeps getting fresh entries (task commits,
+    * `_temporary` churn), so this is the liveness signal; the dir's own
+    * mtime alone is frozen at creation for most of a long parquet job.
+    */
+  private def newestTouchMs(p: Path): Long = {
+    def mtime(q: Path): Long =
+      try Files.getLastModifiedTime(q).toMillis
+      catch { case _: java.io.IOException => Long.MaxValue } // vanished → treat as live
+    var newest = mtime(p)
+    if (Files.isDirectory(p)) {
+      val ls = Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.foreach(c => newest = math.max(newest, mtime(c)))
+      } finally ls.close()
+    }
+    newest
   }
 
   /** Delete crash orphans beside/inside `dir`: `_tmp_<snapshot>*` siblings
-    * (AtomicRename) and uncommitted `data-*` children (ManifestPointer —
-    * only when no manifest exists; committed uuid dirs are never swept).
-    * Orphans younger than [[OrphanTtlMs]] are kept — they may be a live
-    * peer's in-flight write.
+    * (AtomicRename) and manifest-unreferenced `data-*` children
+    * (ManifestPointer — when a manifest exists, the dir it names is never
+    * swept; without one, every `data-*` is a candidate). Orphans whose
+    * newest touch (dir or any direct child) is younger than [[OrphanTtlMs]]
+    * are kept — they may be a live peer's in-flight write, and a long
+    * parquet job keeps touching its dir via task commits. Size OrphanTtlMs
+    * above the longest gap between touches a stage write can have.
     */
   private def sweepOrphans(dir: Path): Unit = {
     def sweep(parent: Path, matches: String => Boolean): Unit =
@@ -196,15 +214,23 @@ object SnapshotIO {
           val now = System.currentTimeMillis()
           ls.iterator().asScala.toSeq
             .filter(p => matches(p.getFileName.toString))
-            .filter(p =>
-              try now - Files.getLastModifiedTime(p).toMillis > OrphanTtlMs
-              catch { case _: java.io.IOException => false })
+            .filter(p => now - newestTouchMs(p) > OrphanTtlMs)
             .foreach(deleteRecursively)
         } finally ls.close()
       }
     sweep(dir.getParent, _.startsWith(s"_tmp_${dir.getFileName}"))
-    if (!Files.exists(dir.resolve("_manifest.json")))
-      sweep(dir, _.startsWith("data-"))
+    val committedDataDir = manifestDataDir(dir)
+    sweep(dir, n => n.startsWith("data-") && !committedDataDir.contains(n))
+  }
+
+  /** The `data-<uuid>` dir name the manifest references, if any. */
+  private def manifestDataDir(dir: Path): Option[String] = {
+    val manifest = dir.resolve("_manifest.json")
+    if (!Files.exists(manifest)) None
+    else {
+      val txt = new String(Files.readAllBytes(manifest), StandardCharsets.UTF_8)
+      """"data_dir":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    }
   }
 
   /** All lineage rows recorded under `base` (stage, snapshot, partition_id,

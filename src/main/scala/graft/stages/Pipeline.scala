@@ -24,12 +24,16 @@ object Pipeline {
 
   /** conv_id codec for the synthetic corpus (`conv_%08d`, Transcripts):
     * numeric-derivable ids let the triple exchange carry an 8-byte long
-    * instead of the 13-char id string. The rlike guard keeps the ANSI cast
-    * from throwing its own error on malformed ids — they flow to
-    * runEncoded's loud raise_error instead.
+    * instead of the 13-char id string. The rlike guard accepts ONLY ids
+    * `decode` provably inverts — exactly 8 digits (the %08d zero-padding),
+    * or 9–18 digits with no leading zero (what %08d prints past 8 digits);
+    * a 9+-digit id WITH a leading zero would encode to a different
+    * conversation's key, so it must fail, not round-trip wrong. The guard
+    * also keeps the ANSI cast from throwing its own error — malformed ids
+    * flow to runEncoded's loud raise_error instead.
     */
   private[graft] val transcriptsConvCodec: Triples.ConvCodec = Triples.ConvCodec(
-    encode = c => when(c.rlike("^conv_\\d{8,18}$"),
+    encode = c => when(c.rlike("^conv_(\\d{8}|[1-9]\\d{8,17})$"),
       substring(c, 6, 18).cast("long")),
     decode = v => f"conv_$v%08d")
 

@@ -27,22 +27,16 @@ final class TripleDict private (val labels: Array[String],
 }
 
 object TripleDict {
-  /** Unsigned UTF-8 byte comparison (== Spark UTF8String binary ordering;
-    * Java's String.compareTo differs on supplementary-plane chars).
+  /** Spark's own binary string collation, by construction: delegate to
+    * `UTF8String.compareTo` (the comparator `sort_array` ultimately uses on
+    * string struct fields), so the rank order can never diverge from the
+    * struct sort it must mirror. (Java's `String.compareTo` would differ on
+    * supplementary-plane chars.)
     */
   private[stages] val utf8Order: Ordering[String] = new Ordering[String] {
-    def compare(a: String, b: String): Int = {
-      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val n = math.min(x.length, y.length)
-      var i = 0
-      while (i < n) {
-        val c = (x(i) & 0xff) - (y(i) & 0xff)
-        if (c != 0) return c
-        i += 1
-      }
-      x.length - y.length
-    }
+    import org.apache.spark.unsafe.types.UTF8String
+    def compare(a: String, b: String): Int =
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
   }
 
   def apply(labels: Iterable[String], entities: Iterable[String]): TripleDict = {
@@ -100,39 +94,52 @@ object Triples {
   def run(canon: Dataset[CanonMention],
           chunkTurns: Int = DefaultChunkTurns): Dataset[Triple] = {
     require(chunkTurns >= 2, s"chunkTurns must be ≥ 2, got $chunkTurns")
+    val packed = canon
+      .filter(col("canonical_id").isNotNull)
+      .select(col("conv_id").as("_cid"), col("turn_idx"),
+        struct(col("start"), col("label"), col("canonical_id")).as("_m"))
+    emit(chunkedWithPrev(packed, chunkTurns))(canon.sparkSession)
+  }
+
+  /** The chunked-window previous-turn attachment (class-doc shape), shared
+    * by `run` and `runEncoded` so the boundary-stitching rules have ONE
+    * implementation. Input columns: `_cid` (conversation key — string or
+    * codec long), `turn_idx`, `_m` (per-mention payload — struct or packed
+    * long). Output: (_cid, turn_idx, ms, prev_idx, prev_ms) with context
+    * rows consumed.
+    *
+    * One pass over the mention table: every row keeps its own chunk; the
+    * last turn of a chunk is ALSO emitted into the next chunk as context
+    * (explode of a 1- or 2-element array — stays in whole-stage codegen).
+    * ONE exchange serves both downstream operators: hash(_cid, _chunk)
+    * satisfies the aggregation's ClusteredDistribution on
+    * (_cid, _chunk, turn_idx) AND the chunk window's. Context rows form
+    * their own (_cid, chunk+1, turn_idx) group, so _ctx is constant per
+    * group and max() just carries it through; a context row's own triples
+    * are emitted by its real copy in the previous chunk — it exists only
+    * to feed the lag.
+    */
+  private def chunkedWithPrev(packed: DataFrame, chunkTurns: Int): DataFrame = {
     val chunk = floor(col("turn_idx") / chunkTurns).cast("int")
     val boundary = pmod(col("turn_idx"), lit(chunkTurns)) === chunkTurns - 1
-    // one pass over the mention table: every row keeps its own chunk; the
-    // last turn of a chunk is ALSO emitted into the next chunk as context
-    // (explode of a 1- or 2-element array — stays in whole-stage codegen)
-    val dup = canon
-      .filter(col("canonical_id").isNotNull)
+    val dup = packed
       .withColumn("_d", explode(when(boundary,
           array(struct(chunk.as("c"), lit(false).as("ctx")),
                 struct((chunk + 1).as("c"), lit(true).as("ctx"))))
         .otherwise(array(struct(chunk.as("c"), lit(false).as("ctx"))))))
-      .withColumn("_chunk", col("_d.c"))
-      .withColumn("_ctx", col("_d.ctx"))
-      .drop("_d")
-    // ONE exchange serves both downstream operators: hash(conv_id, _chunk)
-    // satisfies the aggregation's ClusteredDistribution on
-    // (conv_id, _chunk, turn_idx) AND the chunk window's. Context rows form
-    // their own (conv_id, chunk+1, turn_idx) group, so _ctx is constant per
-    // group and max() just carries it through.
+      .select(col("_cid"), col("turn_idx"), col("_m"),
+        col("_d.c").as("_chunk"), col("_d.ctx").as("_ctx"))
     val perTurn = dup
-      .repartition(col("conv_id"), col("_chunk"))
-      .groupBy(col("conv_id"), col("_chunk"), col("turn_idx"))
-      .agg(sort_array(collect_list(struct(col("start"), col("label"),
-        col("canonical_id")))).as("ms"), max(col("_ctx")).as("_ctx"))
-    val w = Window.partitionBy(col("conv_id"), col("_chunk")).orderBy(col("turn_idx"))
-    val withPrev = perTurn
+      .repartition(col("_cid"), col("_chunk"))
+      .groupBy(col("_cid"), col("_chunk"), col("turn_idx"))
+      .agg(sort_array(collect_list(col("_m"))).as("ms"), max(col("_ctx")).as("_ctx"))
+    val w = Window.partitionBy(col("_cid"), col("_chunk")).orderBy(col("turn_idx"))
+    perTurn
       .withColumn("prev_idx", lag(col("turn_idx"), 1).over(w))
       .withColumn("prev_ms", lag(col("ms"), 1).over(w))
-      // a context row's own triples are emitted by its real copy in the
-      // previous chunk; it exists only to feed the lag above
       .filter(!col("_ctx"))
-      .select(prevCols: _*)
-    emit(withPrev)(canon.sparkSession)
+      .select(col("_cid"), col("turn_idx"), col("ms"),
+        col("prev_idx"), col("prev_ms"))
   }
 
   /** Mention-offset ceiling of the packed encoding: 23 bits. A single turn
@@ -212,27 +219,7 @@ object Triples {
           shiftleft(lbChecked.cast("long"), 32) +
           eidChecked.cast("long")).as("_m"))
 
-    // chunk + overlap-1 context duplication, exactly as `run` (see class doc)
-    val chunk = floor(col("turn_idx") / chunkTurns).cast("int")
-    val boundary = pmod(col("turn_idx"), lit(chunkTurns)) === chunkTurns - 1
-    val dup = packed
-      .withColumn("_d", explode(when(boundary,
-          array(struct(chunk.as("c"), lit(false).as("ctx")),
-                struct((chunk + 1).as("c"), lit(true).as("ctx"))))
-        .otherwise(array(struct(chunk.as("c"), lit(false).as("ctx"))))))
-      .select(col("_cid"), col("turn_idx"), col("_m"),
-        col("_d.c").as("_chunk"), col("_d.ctx").as("_ctx"))
-    val perTurn = dup
-      .repartition(col("_cid"), col("_chunk"))
-      .groupBy(col("_cid"), col("_chunk"), col("turn_idx"))
-      .agg(sort_array(collect_list(col("_m"))).as("ms"), max(col("_ctx")).as("_ctx"))
-    val w = Window.partitionBy(col("_cid"), col("_chunk")).orderBy(col("turn_idx"))
-    val withPrev = perTurn
-      .withColumn("prev_idx", lag(col("turn_idx"), 1).over(w))
-      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
-      .filter(!col("_ctx"))
-      .select(col("_cid"), col("turn_idx"), col("ms"),
-        col("prev_idx"), col("prev_ms"))
+    val withPrev = chunkedWithPrev(packed, chunkTurns)
     val getConv: org.apache.spark.sql.Row => String = convCodec match {
       case Some(cc) =>
         val dec = cc.decode
