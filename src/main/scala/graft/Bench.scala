@@ -111,8 +111,10 @@ object CCBench {
       .select(
         format_string("v%09d", col("c") * (chainLen + 1) + col("i")).as("src"),
         format_string("v%09d", col("c") * (chainLen + 1) + col("i") + 1).as("dst"))
-    // tiny warmup so codegen/JIT isn't billed to the measured run
-    stages.Canon.connectedComponents(edges.limit(1000)).count()
+    // tiny warmup so codegen/JIT isn't billed to the measured run —
+    // maxLocalEdges = 0 keeps the warmup on the DISTRIBUTED loop (the path
+    // the measured run takes), not the small-graph driver fast path
+    stages.Canon.connectedComponents(edges.limit(1000), maxLocalEdges = 0).count()
     val t0 = System.nanoTime()
     val (comp, rounds, converged) = stages.Canon.connectedComponentsWithStats(edges)
     val nComponents = comp.select("canonical_id").distinct().count()

@@ -18,21 +18,35 @@ import graft.core._
   */
 object Canon {
 
+  /** Edge-count ceiling for the driver union-find fast path: below it the
+    * deduped edge list is collected and solved locally in one pass (same-as
+    * evidence graphs are typically dictionary-sized, and the star loop's
+    * ~4 rounds × several jobs are pure scheduler overhead there); above it
+    * the distributed alternating-star loop runs. 4M edges ≈ a few hundred
+    * MB of driver heap — the same budget class as the gated broadcast in
+    * `run`.
+    */
+  val DefaultMaxLocalEdges: Long = 4L << 20
+
   /** edges: DataFrame(src string, dst string), undirected semantics.
     * @return DataFrame(id string, canonical_id string) covering every vertex
     *         incident to an edge.
     */
-  def connectedComponents(edges0: DataFrame, maxIter: Int = 40): DataFrame =
-    connectedComponentsWithStats(edges0, maxIter)._1
+  def connectedComponents(edges0: DataFrame, maxIter: Int = 40,
+                          maxLocalEdges: Long = DefaultMaxLocalEdges): DataFrame =
+    connectedComponentsWithStats(edges0, maxIter, maxLocalEdges)._1
 
   /** As `connectedComponents`, additionally reporting (rounds, converged) —
     * the evidence surface for the O(log n) claim: a chain (path graph) is
     * the round-count worst case for alternating large/small-star, and
     * `graft.CCBench` drives a ≥10M-edge long-chain graph through this to
-    * publish rounds/wall (BENCH.md §CC).
+    * publish rounds/wall (BENCH.md §CC). The fast path reports rounds = 0.
+    *
+    * The size gate costs NO extra job: the loop's carried checksum already
+    * counts the deduped edge relation before round 1.
     */
-  def connectedComponentsWithStats(edges0: DataFrame,
-                                   maxIter: Int = 40): (DataFrame, Int, Boolean) = {
+  def connectedComponentsWithStats(edges0: DataFrame, maxIter: Int = 40,
+      maxLocalEdges: Long = DefaultMaxLocalEdges): (DataFrame, Int, Boolean) = {
     val spark = edges0.sparkSession
 
     // canonical direction + dedup; drop self loops
@@ -82,6 +96,15 @@ object Canon {
     // count); the previous iteration's checksum is carried forward so each
     // round costs ONE action beyond the eager checkpoint
     var prev = checksum(edges)
+    if (prev(0) <= maxLocalEdges) {
+      // dictionary-sized graph: one collect + driver union-find replaces
+      // ~log(n) rounds of distributed self-joins (each several jobs) —
+      // min-id canonical election under the SAME UTF-8 binary ordering the
+      // distributed path's min() aggregate uses (equivalence-tested)
+      val pairs = edges.collect().map(r => (r.getString(0), r.getString(1)))
+      edges.unpersist(false)
+      return (localComponents(spark, pairs), 0, true)
+    }
     while (!converged && it < maxIter) {
       // lazy local checkpoint: materialized by the checksum action below, so
       // each round costs exactly ONE job
@@ -109,6 +132,38 @@ object Canon {
     val comp = asChild.unionAll(roots)
       .groupBy("id").agg(min("canonical_id").as("canonical_id"))
     (comp, it, converged)
+  }
+
+  /** Driver union-find with path halving; canonical id = UTF-8-binary
+    * minimum over the component (same election as the distributed path).
+    */
+  private def localComponents(spark: org.apache.spark.sql.SparkSession,
+                              pairs: Array[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x0: String): String = {
+      var x = x0
+      var p = parent.getOrElse(x, x)
+      while (p != x) {
+        val gp = parent.getOrElse(p, p)
+        parent(x) = gp // path halving
+        x = gp
+        p = parent.getOrElse(x, x)
+      }
+      x
+    }
+    val lt = TripleDict.utf8Order.lt _
+    pairs.foreach { case (a, b) =>
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) { // union by UTF-8 min keeps the root the canonical id
+        if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      } else {
+        parent.getOrElseUpdate(ra, ra); ()
+      }
+    }
+    val vertices = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    vertices.toSeq.map(v => (v, find(v))).toDF("id", "canonical_id")
   }
 
   private def checksum(df: DataFrame): Array[Long] = {

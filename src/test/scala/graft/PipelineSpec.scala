@@ -273,13 +273,33 @@ class CanonSpec extends SparkSpecBase {
     import spark.implicits._
     // the adversarial shape CCBench runs at 10M edges — pinned small here so
     // a regression in the star loop's round complexity fails the suite
+    // (maxLocalEdges = 0 forces the DISTRIBUTED loop past the fast path)
     val n = 512
     val edges = (0 until n).map(i => (f"v$i%04d", f"v${i + 1}%04d")).toDF("src", "dst")
-    val (comp, rounds, converged) = Canon.connectedComponentsWithStats(edges)
+    val (comp, rounds, converged) =
+      Canon.connectedComponentsWithStats(edges, maxLocalEdges = 0)
     assert(converged, "chain must converge before maxIter")
-    assert(rounds <= 12, s"log-round bound violated: $rounds rounds for a $n-chain")
+    assert(rounds >= 1 && rounds <= 12,
+      s"log-round bound violated (or fast path taken): $rounds rounds for a $n-chain")
     val m = comp.collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(m.size == n + 1 && m.values.toSet == Set("v0000"))
+  }
+
+  test("driver fast path ≡ distributed star loop on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      val nV = 30 + rnd.nextInt(50)
+      val edges = (0 until 80).map { _ =>
+        (s"n${rnd.nextInt(nV)}", s"n${rnd.nextInt(nV)}")
+      }.toDF("src", "dst")
+      def sortedComp(maxLocal: Long) =
+        Canon.connectedComponents(edges, maxLocalEdges = maxLocal)
+          .orderBy("id").collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val fast = sortedComp(Long.MaxValue)
+      val loop = sortedComp(0)
+      assert(fast == loop, s"trial $trial: fast path diverged from star loop")
+    }
   }
 }
 
