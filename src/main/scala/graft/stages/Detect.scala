@@ -77,7 +77,7 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
 
   def spanOne(text: String): List[Span] = {
     val n = decodeInto(text)
-    if (n == 0) return Nil
+    if (n <= 0) return Nil // empty text, or the zero-vote all-O fast path
     val path = scratch.get().path
     val out = scala.collection.mutable.ListBuffer.empty[Span]
     // The reference machine's word buffer is ALWAYS a contiguous text
@@ -112,6 +112,11 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
   def tagOne(text: String): Array[String] = {
     val n = decodeInto(text)
     if (n == 0) return Array.empty
+    if (n < 0) { // zero-vote fast path: the decode is all-O by construction
+      val out = new Array[String](-n)
+      java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], tagSet(oIdx))
+      return out
+    }
     val s = scratch.get()
     val out = new Array[String](n)
     var i = 0
@@ -120,7 +125,14 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
   }
 
   /** Shared hot core: trie-vote emissions + Viterbi decode into the
-    * per-thread scratch; returns the text length (path in `scratch.path`).
+    * per-thread scratch; returns the text length (path in `scratch.path`) —
+    * NEGATED when no dictionary match voted, in which case Viterbi is
+    * skipped entirely: with emissions of O = 0.1 per position and
+    * everything else 0, and all allowed transitions scoring 0
+    * (`Viterbi.bmesTransitions`), the all-O path is the UNIQUE argmax
+    * (any path with a non-O position strictly loses that position's 0.1),
+    * so the decode is known without running it. Entity-free turns — a
+    * large share of any real transcript corpus — skip the n·C² decode.
     */
   private def decodeInto(text: String): Int = {
     val n = text.length
@@ -134,6 +146,7 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
     // inline trie walk from every position; every dictionary match votes its
     // BMES labels (single-char demotion per lexicon_tree.py:94-95: a length-1
     // match votes only when it is the sole match at its position)
+    var anyVote = false
     i = 0
     while (i < n) {
       var ptr = trie.root
@@ -150,29 +163,32 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
             if (k >= trie.minLen && ptr.isWord) {
               nMatches += 1
               if (k == 0) soloSingle = ptr.word // defer: demoted unless solo
-              else vote(em, i, ptr.word)
+              else anyVote |= vote(em, i, ptr.word)
             }
             k += 1
           }
         }
       }
-      if (soloSingle != null && nMatches == 1) vote(em, i, soloSingle)
+      if (soloSingle != null && nMatches == 1) anyVote |= vote(em, i, soloSingle)
       i += 1
     }
+    if (!anyVote) return -n
     Viterbi.decodeScratch(s, n, transitions)
     n
   }
 
-  private def vote(em: Array[Float], start: Int, word: String): Unit = {
+  /** @return true iff the word's label was in the dictionary (votes cast). */
+  private def vote(em: Array[Float], start: Int, word: String): Boolean = {
     val label = dict.getOrElse(word, null)
-    if (label == null) return
+    if (label == null) return false
     val (b, im, e, sg) = labelIdx(label)
     val len = word.length
-    if (len == 1) { em(start * C + sg) += 1f; return }
+    if (len == 1) { em(start * C + sg) += 1f; return true }
     em(start * C + b) += 1f
     var k = 1
     while (k < len - 1) { em((start + k) * C + im) += 1f; k += 1 }
     em((start + len - 1) * C + e) += 1f
+    true
   }
 }
 

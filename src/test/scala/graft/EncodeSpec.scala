@@ -170,6 +170,24 @@ class DetectFastPathSpec extends SparkSpecBase {
     }
   }
 
+  test("zero-vote fast path: no-match text decodes all-O without Viterbi, matching the full decode") {
+    val aliases = Transcripts.aliasRows
+    val tagger = new LexiconCrfTagger(Trie(aliases.map(_.surface)),
+      aliases.map(r => r.surface -> r.label).toMap, Transcripts.tagSet)
+    // a second tagger whose dictionary labels NOTHING in this text either,
+    // but whose trie contains a word so matches occur WITHOUT votes
+    // (dict-miss matches must not count as votes)
+    val noLabel = new LexiconCrfTagger(Trie(Seq("chatter")),
+      Map.empty[String, String], Transcripts.tagSet)
+    for (t <- Seq("no entities here, just chatter about shuffle partitions",
+                  "plain text", "a")) {
+      assert(tagger.spanOne(t) == Nil)
+      assert(tagger.tagOne(t).toSeq == Seq.fill(t.length)("O"), s"on '$t'")
+      assert(noLabel.spanOne(t) == Nil)
+      assert(noLabel.tagOne(t).toSeq == Seq.fill(t.length)("O"), s"nolabel on '$t'")
+    }
+  }
+
   test("property: spanOne ≡ getEntities(tagOne) on random alias/noise mixtures") {
     val aliases = Transcripts.aliasRows
     val tagger = new LexiconCrfTagger(Trie(aliases.map(_.surface)),
