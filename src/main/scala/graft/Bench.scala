@@ -116,7 +116,11 @@ object CCBench {
     // the measured run takes), not the small-graph driver fast path
     stages.Canon.connectedComponents(edges.limit(1000), maxLocalEdges = 0).count()
     val t0 = System.nanoTime()
-    val (comp, rounds, converged) = stages.Canon.connectedComponentsWithStats(edges)
+    // maxLocalEdges = 0: CCBench is the STAR-LOOP evidence — without the
+    // pin, any ≤4M-edge config would silently measure the driver union-find
+    // fast path and report rounds=0
+    val (comp, rounds, converged) =
+      stages.Canon.connectedComponentsWithStats(edges, maxLocalEdges = 0)
     val nComponents = comp.select("canonical_id").distinct().count()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"""{"metric":"cc_chain","edges":$nEdges,"chains":$nChains,"rounds":$rounds,"converged":$converged,"components":$nComponents,"sec":$sec%.1f}""")

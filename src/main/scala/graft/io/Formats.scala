@@ -218,16 +218,16 @@ object Formats {
         StructType(Seq(StructField("word", StringType),
           StructField("embedding", ArrayType(FloatType)))))
     val headerFiles = firstLines.collect { case (f, l) if isHeader(l) => f }.toSeq
-    val all0 = lines.toDF("_file", "_off", "value")
-    // budget one extra line per header FILE (each is dropped below), so the
-    // cap still admits maxScan data lines on a multi-file glob; which lines
-    // survive an under-cap scan remains partition-order dependent (as it
-    // always was) — pass no cap for exact reads
-    val all = if (maxScan > 0) all0.limit(maxScan + headerFiles.size) else all0
+    val all = lines.toDF("_file", "_off", "value")
     val noHeader0 = all.filter(length(trim(col("value"))) > 0)
-    val noHeader = if (headerFiles.isEmpty) noHeader0
+    val noHeader1 = if (headerFiles.isEmpty) noHeader0
       else noHeader0.filter(
         !(col("_off") === 0 && col("_file").isin(headerFiles: _*)))
+    // cap AFTER the header/blank drops: exactly maxScan candidate data
+    // lines pass (headers no longer eat an inexact share of the budget);
+    // which lines survive an under-cap scan remains partition-order
+    // dependent (as it always was) — pass no cap for exact reads
+    val noHeader = if (maxScan > 0) noHeader1.limit(maxScan) else noHeader1
     noHeader
       .withColumn("parts", split(trim(col("value")), "\\s+"))
       .filter(size(col("parts")) >= dim + 1)

@@ -176,25 +176,29 @@ object SnapshotIO {
     spark.read.parquet(
       manifestDataDir(dir).map(dir.resolve).getOrElse(dir).toString)
 
-  /** Newest modification time of `p` or any of its DIRECT children — a
-    * writer's in-flight dir keeps getting fresh entries (task commits,
-    * `_temporary` churn), so this is the liveness signal; the dir's own
-    * mtime alone is frozen at creation for most of a long parquet job.
+  /** Newest modification time anywhere in the top FOUR levels of `p` — the
+    * liveness signal for an in-flight write. Depth matters: a running
+    * parquet job's task commits land at `data-<uuid>/_temporary/0/task_*`,
+    * so only the GRANDchild level's mtimes advance during most of a long
+    * write (the dir's own and `_temporary`'s are frozen at creation);
+    * walking to depth 3 sees that churn. Any IO error (the candidate
+    * vanished under a concurrent sweeper, permissions) reports "live" —
+    * sweeping is an optimization and must never throw out of a resume.
     */
-  private def newestTouchMs(p: Path): Long = {
-    def mtime(q: Path): Long =
-      try Files.getLastModifiedTime(q).toMillis
-      catch { case _: java.io.IOException => Long.MaxValue } // vanished → treat as live
-    var newest = mtime(p)
-    if (Files.isDirectory(p)) {
-      val ls = Files.list(p)
+  private def newestTouchMs(p: Path): Long =
+    try {
+      var newest = 0L
+      val walk = Files.walk(p, 3)
       try {
         import scala.jdk.CollectionConverters._
-        ls.iterator().asScala.foreach(c => newest = math.max(newest, mtime(c)))
-      } finally ls.close()
-    }
-    newest
-  }
+        walk.iterator().asScala.foreach { q =>
+          val t = try Files.getLastModifiedTime(q).toMillis
+                  catch { case _: java.io.IOException => Long.MaxValue }
+          newest = math.max(newest, t)
+        }
+      } finally walk.close()
+      newest
+    } catch { case _: java.io.IOException => Long.MaxValue } // vanished → live
 
   /** Delete crash orphans beside/inside `dir`: `_tmp_<snapshot>*` siblings
     * (AtomicRename) and manifest-unreferenced `data-*` children
