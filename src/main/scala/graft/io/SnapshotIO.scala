@@ -176,19 +176,22 @@ object SnapshotIO {
     spark.read.parquet(
       manifestDataDir(dir).map(dir.resolve).getOrElse(dir).toString)
 
-  /** Newest modification time anywhere in the top FOUR levels of `p` — the
+  /** Newest modification time anywhere under `p` (full tree) — the
     * liveness signal for an in-flight write. Depth matters: a running
-    * parquet job's task commits land at `data-<uuid>/_temporary/0/task_*`,
-    * so only the GRANDchild level's mtimes advance during most of a long
-    * write (the dir's own and `_temporary`'s are frozen at creation);
-    * walking to depth 3 sees that churn. Any IO error (the candidate
-    * vanished under a concurrent sweeper, permissions) reports "live" —
-    * sweeping is an optimization and must never throw out of a resume.
+    * parquet job's churn lives deep (task commits under
+    * `_temporary/0/task_...` at depth 3, and a single long-running task's
+    * GROWING part file under the depth-4 attempt dir may be the only fresh
+    * mtime for hours on a skewed partition), so the walk is unbounded;
+    * candidates are rare (only orphan-looking dirs) and the cost is one
+    * listing. Any IO error — including `UncheckedIOException`, which
+    * `Files.walk`'s iterator wraps mid-walk failures in when a concurrent
+    * sweeper deletes an entry — reports "live": sweeping is an optimization
+    * and must never throw out of a resume.
     */
   private def newestTouchMs(p: Path): Long =
     try {
       var newest = 0L
-      val walk = Files.walk(p, 3)
+      val walk = Files.walk(p)
       try {
         import scala.jdk.CollectionConverters._
         walk.iterator().asScala.foreach { q =>
@@ -198,16 +201,20 @@ object SnapshotIO {
         }
       } finally walk.close()
       newest
-    } catch { case _: java.io.IOException => Long.MaxValue } // vanished → live
+    } catch {
+      case _: java.io.IOException | _: java.io.UncheckedIOException =>
+        Long.MaxValue // vanished mid-walk → treat as live
+    }
 
   /** Delete crash orphans beside/inside `dir`: `_tmp_<snapshot>*` siblings
     * (AtomicRename) and manifest-unreferenced `data-*` children
     * (ManifestPointer — when a manifest exists, the dir it names is never
     * swept; without one, every `data-*` is a candidate). Orphans whose
-    * newest touch (dir or any direct child) is younger than [[OrphanTtlMs]]
-    * are kept — they may be a live peer's in-flight write, and a long
-    * parquet job keeps touching its dir via task commits. Size OrphanTtlMs
-    * above the longest gap between touches a stage write can have.
+    * newest touch anywhere in their tree (see [[newestTouchMs]] — growing
+    * part files deep under `_temporary` count) is younger than
+    * [[OrphanTtlMs]] are kept — they may be a live peer's in-flight write.
+    * Size OrphanTtlMs above the longest gap between ANY file-tree touch a
+    * stage write can have (task commits, attempt churn, or byte appends).
     */
   private def sweepOrphans(dir: Path): Unit = {
     def sweep(parent: Path, matches: String => Boolean): Unit =
