@@ -21,6 +21,9 @@ object Viterbi {
     var bps: Array[Int] = new Array(cap * C)
     val score: Array[Float] = new Array(C)
     val next: Array[Float] = new Array(C)
+    // per-distinct-predecessor-row maxima for the sparse decode (R ≤ C)
+    val rowBest: Array[Float] = new Array(C)
+    val rowBestP: Array[Int] = new Array(C)
     var path: Array[Int] = new Array(cap)
     def ensure(l: Int): Unit = if (l > cap) {
       cap = math.max(l, cap * 2)
@@ -99,6 +102,148 @@ object Viterbi {
       c += 1
     }
     // back-pointer walk (crf.py:120-132)
+    var cur = bestTag
+    t = L - 1
+    while (t >= 0) {
+      s.path(t) = cur
+      cur = bps(t * C + cur)
+      t -= 1
+    }
+  }
+
+  /** Sparse predecessor view of a 0/`Impossible` transition matrix (the
+    * shape [[bmesTransitions]] produces): per target tag, the ascending list
+    * of predecessors whose transition score is exactly 0. BMES matrices are
+    * ~2/3 `Impossible` (M/E tags admit only 2 of C predecessors), so the
+    * max-over-predecessors inner loop shrinks ~3× — and because every kept
+    * transition scores 0, the loop is a pure running max with no adds.
+    *
+    * Bit-exactness precondition for [[decodeScratchSparse]] ≡
+    * [[decodeScratch]] (argmax ties included): all emissions ≥ 0 and the
+    * total emission mass `Σ_t max_c em(t,c)` < |Impossible| (with margin —
+    * callers use 5000 < 1e4). Proof: every tag has ≥1 predecessor reachable
+    * from START (O for B/S/O targets, B-X for M-X/E-X targets), so by
+    * induction every cell score lies in [0, Σmass]; a pruned candidate is
+    * ≤ Σmass − 1e4 < 0 ≤ best kept candidate, so it can never win or tie,
+    * and within kept candidates both loops scan the same ascending order
+    * with strict `>`. `Impossible` is finite (crf.py semantics), so WITHOUT
+    * the mass bound a pruned transition could legitimately win — callers
+    * must fall back to the dense decode when the bound fails.
+    */
+  final class SparseBmes private[Viterbi] (
+      val startScore: Array[Float], // transitions(c)(START), dense init row
+      val rowOf: Array[Int],        // tag → distinct-predecessor-row id
+      val rowStart: Array[Int],     // length R+1, CSR offsets into rowPred
+      val rowPred: Array[Int],      // kept predecessors, ascending per row
+      val stopPreds: Array[Int]     // tags with a kept STOP transition, asc
+  ) extends Serializable {
+    def nRows: Int = rowStart.length - 1
+  }
+
+  object SparseBmes {
+    /** Build iff every interior/STOP entry is exactly 0f or [[Impossible]]
+      * (START column may hold any finite score — it is used densely).
+      * Tags with identical predecessor sets share one row, so the per-
+      * position work is one max per DISTINCT row: BMES matrices collapse to
+      * 1 + #types rows (all B/S/O targets share {E-*, S-*, O}; M-X and E-X
+      * share {B-X, M-X}) — 4 rows for 13 tags here.
+      */
+    def build(transitions: Array[Array[Float]]): Option[SparseBmes] = {
+      val C = transitions.length - 2
+      if (C <= 0 || transitions.exists(_.length != C + 2)) return None
+      val rowOf = new Array[Int](C)
+      val rowKey = scala.collection.mutable.LinkedHashMap.empty[List[Int], Int]
+      for (to <- 0 until C) {
+        val preds = List.newBuilder[Int]
+        for (from <- 0 until C) transitions(to)(from) match {
+          case 0f => preds += from
+          case Impossible => ()
+          case _ => return None
+        }
+        val key = preds.result()
+        // a tag with NO kept predecessor would leave the sparse max at -inf
+        // where dense computes a finite (pruned) max — the equivalence proof
+        // needs ≥1 kept entry per row, which BMES guarantees
+        if (key.isEmpty) return None
+        rowOf(to) = rowKey.getOrElseUpdate(key, rowKey.size)
+      }
+      val rows = rowKey.keysIterator.toArray // insertion order == row id
+      val rowStart = rows.scanLeft(0)(_ + _.length)
+      val rowPred: Array[Int] = rows.flatten
+      val stop = Array.newBuilder[Int]
+      var nStop = 0
+      for (from <- 0 until C) transitions(C + 1)(from) match {
+        case 0f => stop += from; nStop += 1
+        case Impossible => ()
+        case _ => return None
+      }
+      if (nStop == 0) return None
+      val startScore = Array.tabulate(C)(c => transitions(c)(C))
+      Some(new SparseBmes(startScore, rowOf, rowStart, rowPred, stop.result()))
+    }
+  }
+
+  /** [[decodeScratch]] specialized to a [[SparseBmes]] matrix — identical
+    * output (see the equivalence precondition on [[SparseBmes]]; callers
+    * enforce the emission-mass bound). `s.C` must equal the matrix's C.
+    */
+  def decodeScratchSparse(s: Scratch, L: Int, sp: SparseBmes): Unit = {
+    if (L == 0) return
+    val C = s.C
+    val em = s.emissions
+    val bps = s.bps
+    val rowOf = sp.rowOf
+    val rowStart = sp.rowStart
+    val rowPred = sp.rowPred
+    val R = sp.nRows
+    val rowBest = s.rowBest
+    val rowBestP = s.rowBestP
+    var maxScore = s.score
+    var next = s.next
+    var c = 0
+    while (c < C) { // t = 0: dense START init, same values as decodeScratch
+      maxScore(c) = sp.startScore(c) + em(c)
+      bps(c) = C
+      c += 1
+    }
+    var t = 1
+    while (t < L) {
+      val base = t * C
+      var r = 0
+      while (r < R) { // one max per DISTINCT predecessor row, not per tag
+        var k = rowStart(r)
+        val end = rowStart(r + 1)
+        var best = Float.NegativeInfinity
+        var bestP = 0
+        while (k < end) {
+          val p = rowPred(k)
+          val sc = maxScore(p) // kept transition score is exactly 0
+          if (sc > best) { best = sc; bestP = p }
+          k += 1
+        }
+        rowBest(r) = best
+        rowBestP(r) = bestP
+        r += 1
+      }
+      c = 0
+      while (c < C) {
+        val rc = rowOf(c)
+        next(c) = rowBest(rc) + em(base + c)
+        bps(base + c) = rowBestP(rc)
+        c += 1
+      }
+      val tmp = maxScore; maxScore = next; next = tmp
+      t += 1
+    }
+    var best = Float.NegativeInfinity
+    var bestTag = 0
+    var k = 0
+    while (k < sp.stopPreds.length) {
+      val p = sp.stopPreds(k)
+      val sc = maxScore(p)
+      if (sc > best) { best = sc; bestTag = p }
+      k += 1
+    }
     var cur = bestTag
     t = L - 1
     while (t >= 0) {

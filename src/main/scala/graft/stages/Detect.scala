@@ -44,6 +44,12 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
                              tagSet: IndexedSeq[String]) extends MentionTagger {
   private val C = tagSet.length
   @transient private lazy val transitions = Viterbi.bmesTransitions(tagSet)
+  /** Sparse predecessor view of `transitions` (null when not 0/Impossible-
+    * shaped). Bit-exact vs the dense decode only under the emission-mass
+    * bound checked per turn in `decodeInto` — see [[Viterbi.SparseBmes]].
+    */
+  @transient private lazy val sparseTrans: Viterbi.SparseBmes =
+    Viterbi.SparseBmes.build(transitions).orNull
   private val oIdx = tagSet.indexOf("O")
   // per-label precomputed BMES tag-index rows: bIdx(label), iIdx, eIdx, sIdx
   private val labelIdx: Map[String, (Int, Int, Int, Int)] =
@@ -146,7 +152,9 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
     // inline trie walk from every position; every dictionary match votes its
     // BMES labels (single-char demotion per lexicon_tree.py:94-95: a length-1
     // match votes only when it is the sole match at its position)
-    var anyVote = false
+    var voteMass = 0L // total +1f emission increments — bounds Σ_t max_c em
+    // (Long: an Int could wrap on a ~7M-char match-saturated turn and
+    // silently satisfy the sparse guard with its precondition violated)
     i = 0
     while (i < n) {
       var ptr = trie.root
@@ -163,32 +171,40 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
             if (k >= trie.minLen && ptr.isWord) {
               nMatches += 1
               if (k == 0) soloSingle = ptr.word // defer: demoted unless solo
-              else anyVote |= vote(em, i, ptr.word)
+              else voteMass += vote(em, i, ptr.word)
             }
             k += 1
           }
         }
       }
-      if (soloSingle != null && nMatches == 1) anyVote |= vote(em, i, soloSingle)
+      if (soloSingle != null && nMatches == 1) voteMass += vote(em, i, soloSingle)
       i += 1
     }
-    if (!anyVote) return -n
-    Viterbi.decodeScratch(s, n, transitions)
+    if (voteMass == 0) return -n
+    // Sparse decode ≡ dense iff total emission mass stays far below
+    // |Impossible| (Viterbi.SparseBmes doc): mass ≤ 0.1·n + voteMass. The
+    // dense fallback only triggers on ~50k-char turns saturated with votes.
+    if (sparseTrans != null && 0.1f * n + voteMass < 5000f)
+      Viterbi.decodeScratchSparse(s, n, sparseTrans)
+    else
+      Viterbi.decodeScratch(s, n, transitions)
     n
   }
 
-  /** @return true iff the word's label was in the dictionary (votes cast). */
-  private def vote(em: Array[Float], start: Int, word: String): Boolean = {
+  /** Cast the word's BMES votes; @return the number of +1f increments cast
+    * (0 iff the word's label is not in the dictionary).
+    */
+  private def vote(em: Array[Float], start: Int, word: String): Int = {
     val label = dict.getOrElse(word, null)
-    if (label == null) return false
+    if (label == null) return 0
     val (b, im, e, sg) = labelIdx(label)
     val len = word.length
-    if (len == 1) { em(start * C + sg) += 1f; return true }
+    if (len == 1) { em(start * C + sg) += 1f; return 1 }
     em(start * C + b) += 1f
     var k = 1
     while (k < len - 1) { em((start + k) * C + im) += 1f; k += 1 }
     em((start + len - 1) * C + e) += 1f
-    true
+    len
   }
 }
 

@@ -161,6 +161,46 @@ class ViterbiSpec extends AnyFunSuite {
     }
   }
 
+  test("sparse BMES decode is path-identical to dense, ties included") {
+    val tags = graft.synth.Transcripts.tagSet
+    val tr = Viterbi.bmesTransitions(tags)
+    val sp = Viterbi.SparseBmes.build(tr).get
+    val C = tags.length
+    val rnd = new Random(11)
+    for (_ <- 1 to 300) {
+      val l = 1 + rnd.nextInt(30)
+      val s1 = new Viterbi.Scratch(l, C)
+      val s2 = new Viterbi.Scratch(l, C)
+      // vote-shaped non-negative emissions from {0, 0.1, 1} — deliberately
+      // tie-heavy to stress argmax tie-break equality, and within the
+      // emission-mass precondition (≤ 30·2 ≪ 5000)
+      for (t <- 0 until l; c <- 0 until C) {
+        val v = rnd.nextInt(10) match {
+          case 0 | 1 => 1f
+          case 2     => 0.1f
+          case _     => 0f
+        }
+        s1.emissions(t * C + c) = v
+        s2.emissions(t * C + c) = v
+      }
+      Viterbi.decodeScratch(s1, l, tr)
+      Viterbi.decodeScratchSparse(s2, l, sp)
+      assert(s1.path.take(l).toSeq == s2.path.take(l).toSeq)
+    }
+  }
+
+  test("SparseBmes.build accepts only 0/Impossible matrices with full rows") {
+    val tags = graft.synth.Transcripts.tagSet
+    assert(Viterbi.SparseBmes.build(Viterbi.bmesTransitions(tags)).isDefined)
+    // arbitrary finite scores → not sparse-safe
+    val rnd = new Random(7)
+    val dense = Array.fill(5, 5)(rnd.nextFloat())
+    assert(Viterbi.SparseBmes.build(dense).isEmpty)
+    // a row with zero kept predecessors → dense computes a finite pruned max
+    val allImpossible = Array.fill(5, 5)(Viterbi.Impossible)
+    assert(Viterbi.SparseBmes.build(allImpossible).isEmpty)
+  }
+
   test("BMES transitions keep decoded paths grammatical") {
     val tags = graft.synth.Transcripts.tagSet
     val tr = Viterbi.bmesTransitions(tags)
