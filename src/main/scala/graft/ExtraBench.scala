@@ -99,6 +99,10 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.local.dir", "/dev/shm/graft-spark")
       .config("spark.sql.adaptive.enabled", "false") // streaming plans
+      // recentProgress retains only the newest N updates (default 100);
+      // the throughput sum below must see EVERY batch or long runs silently
+      // under-report — size the buffer far past any plausible batch count
+      .config("spark.sql.streaming.numRecentProgressUpdates", "100000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
@@ -132,17 +136,15 @@ object StreamBench {
       val tg = tagger.value
       val am = aliasMap.value
       val cm = canonMap.value
-      it.grouped(Detect.BatchSize).flatMap { chunk =>
-        val sorted = chunk.sortBy(-_.text.length)
-        sorted.iterator.zip(tg.spanBatch(sorted.map(_.text)).iterator).flatMap {
-          case (turn, spans) =>
-            spans.iterator.flatMap { sp =>
-              am.get((sp.surface.toLowerCase(java.util.Locale.ROOT), sp.label))
-                .map { eid =>
-                  graft.streaming.StreamingTriples.TimedCanonMention(
-                    turn.conv_id, turn.turn_idx, sp.start, sp.end, sp.label,
-                    sp.surface, eid, cm.getOrElse(eid, eid), turn.ts)
-                }
+      // Detect.spanPartition: the bench measures the SAME detect core as the
+      // batch pipeline (one source of truth for the micro-batch packing)
+      Detect.spanPartition(it, tg).flatMap { case (turn, spans) =>
+        spans.iterator.flatMap { sp =>
+          am.get((sp.surface.toLowerCase(java.util.Locale.ROOT), sp.label))
+            .map { eid =>
+              graft.streaming.StreamingTriples.TimedCanonMention(
+                turn.conv_id, turn.turn_idx, sp.start, sp.end, sp.label,
+                sp.surface, eid, cm.getOrElse(eid, eid), turn.ts)
             }
         }
       }

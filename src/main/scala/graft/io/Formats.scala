@@ -98,8 +98,12 @@ object Formats {
     *
     * Multi-file input: files are ordered by path; a file boundary always
     * starts a new sentence (sentence ids keep counting across files).
-    * Single-file behavior is byte-identical to the previous implementation
-    * (q44 oracle; line_no/sentence_id both 0-based).
+    * line_no/sentence_id are both 0-based (q44 oracle). "Blank" is
+    * `String.trim.isEmpty` — tabs/CR/control chars count as blank, matching
+    * the reference's Python `line.strip()` for ASCII whitespace (a
+    * deliberate deviation from the round-3 SQL `trim`, which stripped
+    * spaces only: a tab-only line is a sentence boundary here and in the
+    * reference, but was a data row there).
     */
   def readConll(spark: SparkSession, path: String, sep: String = " ",
                 maxSplitBytes: Long = -1L): DataFrame = {

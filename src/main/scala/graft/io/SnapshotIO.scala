@@ -95,6 +95,14 @@ object SnapshotIO {
       }
       val df = compute
       df.write.mode("overwrite").parquet(tmp.toString)
+      // Reset the orphan-TTL clock the moment the data write finishes: the
+      // metrics pass below re-SCANS the stored output (unbounded duration on
+      // a huge stage) and reads leave no mtime churn, so without this touch
+      // a concurrent entrant's sweepOrphans could age this dir past
+      // OrphanTtlMs mid-metrics and delete it before the commit point.
+      try Files.setLastModifiedTime(tmp,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: java.io.IOException => () } // touch is best-effort
       // per-FILE lineage counters over the snapshot as STORED (north_rule:
       // every stage writes per-partition counters). input_file_name groups
       // by the durable written file — immune to read-time split packing
@@ -145,6 +153,13 @@ object SnapshotIO {
                      _: java.nio.file.DirectoryNotEmptyException =>
                   deleteRecursively(tmp) // a concurrent writer committed first
                   false
+                case _: java.nio.file.NoSuchFileException =>
+                  // a peer's orphan sweep aged this _tmp_ dir out mid-run
+                  // (should be impossible inside one TTL after the post-write
+                  // touch) — fail loudly rather than publish nothing
+                  throw new IllegalStateException(
+                    s"snapshot commit lost its staged data dir $tmp to a " +
+                      "concurrent orphan sweep; re-run to recompute the stage")
               }
             if (won)
               Files.write(dir.resolve("_manifest.json"), // manifest last = commit point
@@ -154,12 +169,24 @@ object SnapshotIO {
           // commit = create-new manifest PUT; the data dir is never moved.
           // CREATE_NEW makes the publish atomic-or-lose: exactly one racing
           // writer's manifest lands, losers remove their own uuid dir.
-          try
+          try {
             Files.write(dir.resolve("_manifest.json"),
               manifestJson(Some(tmp.getFileName.toString))
                 .getBytes(StandardCharsets.UTF_8),
               StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-          catch {
+            // Backstop against the sweep race the post-write touch already
+            // makes ~impossible: if the data dir this manifest names was
+            // deleted (a peer's sweep aged it out during a >TTL metrics
+            // pass), a committed-but-unreadable snapshot would WEDGE every
+            // future resume — roll the manifest back and fail loudly so the
+            // next run recomputes.
+            if (!Files.exists(tmp)) {
+              Files.deleteIfExists(dir.resolve("_manifest.json"))
+              throw new IllegalStateException(
+                s"snapshot commit lost its data dir $tmp to a concurrent " +
+                  "orphan sweep; manifest rolled back — re-run to recompute")
+            }
+          } catch {
             case _: java.nio.file.FileAlreadyExistsException =>
               deleteRecursively(tmp) // lost the publish race
           }
@@ -226,7 +253,14 @@ object SnapshotIO {
           ls.iterator().asScala.toSeq
             .filter(p => matches(p.getFileName.toString))
             .filter(p => now - newestTouchMs(p) > OrphanTtlMs)
-            .foreach(deleteRecursively)
+            // two sweepers can race on the same aged orphan; the loser's
+            // walk/delete hits vanished entries — sweeping is best-effort
+            // and must never throw out of a resume
+            .foreach(p =>
+              try deleteRecursively(p)
+              catch {
+                case _: java.io.IOException | _: java.io.UncheckedIOException => ()
+              })
         } finally ls.close()
       }
     sweep(dir.getParent, _.startsWith(s"_tmp_${dir.getFileName}"))

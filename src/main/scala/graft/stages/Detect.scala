@@ -225,6 +225,21 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
 object Detect {
   val BatchSize = 64
 
+  /** Per-partition detect core — the ONE place the micro-batch + length-sort
+    * + span-fast-path trick lives (padding-waste packing of
+    * birnncrf.py:20-28): shared by the batch stage below, the streaming
+    * windowed counts (`StreamingDetect`), and `StreamBench`, so the
+    * streaming throughput evidence always measures the same detect core as
+    * the batch pipeline. Emission order within a chunk is the SORTED order —
+    * callers must not assume input order (rows carry their own keys).
+    */
+  def spanPartition(it: Iterator[Turn],
+                    tg: MentionTagger): Iterator[(Turn, List[Span])] =
+    it.grouped(BatchSize).flatMap { chunk =>
+      val sorted = chunk.sortBy(-_.text.length) // length packing
+      sorted.iterator.zip(tg.spanBatch(sorted.map(_.text)).iterator)
+    }
+
   def run(turns: Dataset[Turn], tagger: Broadcast[MentionTagger],
           turnsIn: Option[LongAccumulator] = None,
           mentionsOut: Option[LongAccumulator] = None): Dataset[Mention] = {
@@ -232,21 +247,13 @@ object Detect {
     import spark.implicits._
     turns.mapPartitions { it =>
       val tg = tagger.value
-      it.grouped(BatchSize).flatMap { chunk =>
-        turnsIn.foreach(_.add(chunk.size))
-        val sorted = chunk.sortBy(-_.text.length) // length packing
-        val spanSeqs = tg.spanBatch(sorted.map(_.text))
-        val out = new scala.collection.mutable.ArrayBuffer[Mention]()
-        var bi = 0
-        while (bi < sorted.length) {
-          val turn = sorted(bi)
-          spanSeqs(bi).foreach { sp =>
-            out += Mention(turn.conv_id, turn.turn_idx, sp.start, sp.end, sp.label, sp.surface)
-          }
-          bi += 1
-        }
-        mentionsOut.foreach(_.add(out.size))
-        out
+      val tIn = turnsIn.orNull
+      val mOut = mentionsOut.orNull
+      spanPartition(it, tg).flatMap { case (turn, spans) =>
+        if (tIn != null) tIn.add(1)
+        if (mOut != null) mOut.add(spans.size)
+        spans.map(sp =>
+          Mention(turn.conv_id, turn.turn_idx, sp.start, sp.end, sp.label, sp.surface))
       }
     }
   }

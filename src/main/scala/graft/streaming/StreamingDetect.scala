@@ -39,15 +39,11 @@ object StreamingDetect {
     // and closed windows would never flush. Explode AFTER the watermark.
     val tagged = turns.mapPartitions { it =>
       val tg = tagger.value
-      it.grouped(Detect.BatchSize).flatMap { chunk =>
-        val sorted = chunk.sortBy(-_.text.length)
-        // spanBatch, not tagBatch+getEntities: the streaming hot path gets
-        // the same span fast path as batch Detect.run
-        sorted.iterator.zip(tg.spanBatch(sorted.map(_.text)).iterator).map {
-          case (turn, spans) =>
-            (turn.conv_id, turn.turn_idx, turn.ts,
-              spans.map(sp => (sp.label, sp.surface)))
-        }
+      // Detect.spanPartition: the same micro-batch + length-sort + span
+      // fast path as batch Detect.run — one source of truth
+      Detect.spanPartition(it, tg).map { case (turn, spans) =>
+        (turn.conv_id, turn.turn_idx, turn.ts,
+          spans.map(sp => (sp.label, sp.surface)))
       }
     }.toDF("conv_id", "turn_idx", "ts", "spans")
     tagged

@@ -71,6 +71,10 @@ class PipelineSpec extends SparkSpecBase {
       convCodec = Some(Pipeline.transcriptsConvCodec))) == viaWindow)
   }
 
+  /** All messages down a Spark-nested cause chain (raise_error wraps). */
+  private def msgs(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+
   test("conv codec fails LOUDLY on an id its encoder cannot parse") {
     import spark.implicits._
     val canon = Seq(
@@ -79,8 +83,6 @@ class PipelineSpec extends SparkSpecBase {
       Triples.runEncoded(canon, Pipeline.transcriptsDict,
         convCodec = Some(Pipeline.transcriptsConvCodec)).collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("convCodec failed")), s"got: ${msgs(e)}")
   }
 
@@ -93,8 +95,6 @@ class PipelineSpec extends SparkSpecBase {
     val e = intercept[Exception] {
       Triples.runEncoded(canon, dict).collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("canonical_id not in dict")), s"got: ${msgs(e)}")
   }
 
