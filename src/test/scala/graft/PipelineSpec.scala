@@ -240,6 +240,50 @@ class ResumeSpec extends SparkSpecBase {
     assert(mixed == rows1)
     SnapshotIO.deleteRecursively(java.nio.file.Paths.get(dir))
   }
+
+  test("orphan sweep: TTL-aged orphans reclaimed, deep-fresh writers kept") {
+    import graft.io.SnapshotIO
+    import java.nio.file.{Files, Path, Paths}
+    import java.nio.file.attribute.FileTime
+    val dir = Files.createTempDirectory("graft_sweep").toString
+    def run() = Pipeline
+      .runWithSnapshots(spark, 30, dir, protocol = SnapshotIO.ManifestPointer)
+      .orderBy("conv_id", "turn_idx", "subj", "pred", "obj").collect().toSeq
+    val rows1 = run()
+    val snapDir = SnapshotIO.snapshotDir(dir, "triples", "n30_s42")
+    // two uncommitted data-* orphans beside the committed snapshot, shaped
+    // like in-flight parquet writes (churn deep under _temporary):
+    //   data-aged — every mtime 2×TTL old → reclaimed on the next entry
+    //   data-live — shallow mtimes old, ONE deep part file fresh (the
+    //   long-skewed-task signature) → kept: the unbounded liveness walk
+    //   must see it
+    def mk(name: String): Path = {
+      val deep = snapDir.resolve(name).resolve("_temporary").resolve("0")
+        .resolve("_temporary").resolve("attempt_0")
+      Files.createDirectories(deep)
+      Files.writeString(deep.resolve("part-00000"), "x")
+      snapDir.resolve(name)
+    }
+    val old = FileTime.fromMillis(
+      System.currentTimeMillis() - 2 * SnapshotIO.OrphanTtlMs)
+    def ageAll(p: Path): Unit = { // after creation: creating children bumps parents
+      val walk = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.foreach(q => Files.setLastModifiedTime(q, old))
+      } finally walk.close()
+    }
+    val aged = mk("data-aged"); ageAll(aged)
+    val live = mk("data-live"); ageAll(live)
+    Files.setLastModifiedTime( // deep touch only — parents stay old
+      live.resolve("_temporary").resolve("0").resolve("_temporary")
+        .resolve("attempt_0").resolve("part-00000"),
+      FileTime.fromMillis(System.currentTimeMillis()))
+    assert(run() == rows1) // the entry sweep runs with both orphans present
+    assert(!Files.exists(aged), "TTL-aged orphan must be swept")
+    assert(Files.exists(live), "deep-fresh orphan must read as a live writer")
+    SnapshotIO.deleteRecursively(Paths.get(dir))
+  }
 }
 
 class CanonSpec extends SparkSpecBase {
