@@ -635,10 +635,13 @@ object SparkEntry {
        WHERE jaccard >= $threshold ORDER BY a, b"""
   }
 
-  /** Spark-exact cosine (vec_dot formula incl. the 1e-12 guard). */
+  /** Spark-exact cosine (vec_dot formula incl. the symmetric 1e-12 guard —
+    * both norms, matching `Similarity.cosine`: zero vectors score 0, not
+    * NaN, on either side).
+    */
   private def duckCosine(a: String, b: String): String =
     s"(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) / " +
-      s"(sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) * " +
+      s"(greatest(sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))), 1e-12) * " +
       s"greatest(sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))), 1e-12)))"
 
   def oracleSql: Map[String, String] = Map(
@@ -893,8 +896,12 @@ object SparkEntry {
          SELECT doc_id, simhash FROM sig ORDER BY doc_id""",
     "q16b_simhash_pairs" ->
       s"""$duckSimhashCtes,
+         -- mirror simhashPairs' blank-doc exclusion (all blanks sketch to 0
+         -- and would form one quadratic bucket; inert on this corpus)
+         sigp AS (SELECT s.doc_id, s.simhash FROM sig s
+           JOIN documents d USING (doc_id) WHERE trim(d.text) <> ''),
          banded AS (SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS key
-           FROM sig CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS b) bands),
+           FROM sigp CROSS JOIN (SELECT UNNEST([0,1,2,3]) AS b) bands),
          pairs AS (SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb,
              x.simhash AS sa, y.simhash AS sb
            FROM banded x JOIN banded y

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for 100TB-scale training-data curation.
@@ -69,19 +68,25 @@ object Dedup {
     // higher-order-function column chain is CodegenFallback (interpreted)
     // and gets evaluated once for size() and once for explode() — measured
     // ~20µs/shingle vs <1µs here.
-    val sh = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // null-text docs are dropped (cannot pair; the typed flatMap would NPE
+    // where the column-based siblings null-propagate). Materialized via an
+    // eager localCheckpoint because sh feeds TWO consumers with DIFFERENT
+    // exchanges — the df-count agg ships partial-agg rows while the semi
+    // join ships raw rows, so ReuseExchange cannot dedup them and the docs
+    // scan + shingle flatMap would run twice (same multi-consumer shape and
+    // fix as minhash60Pairs below).
+    val sh = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         // kShingles, not an inline copy: Locale.ROOT lowering (a default-
         // locale lowercase diverges per executor JVM locale) + one source
         // of truth with the q14 oracle
         val distinctGrams = kShingles(text, k)
         distinctGrams.iterator.map(g => (id, distinctGrams.length, g))
-      }.toDF("doc_id", "n_sh", "shingle")
+      }.toDF("doc_id", "n_sh", "shingle").localCheckpoint(true)
     // df-prefilter BEFORE any posting list materializes: a stopword shingle
     // at web scale would otherwise build its full (huge) collect_list buffer
-    // only to be discarded by the cap. Two-pass on the same shuffle key —
-    // the count agg and the semi join hash-partition on `shingle`, so the
-    // exchange is reused and the final groupBy needs no extra shuffle.
+    // only to be discarded by the cap.
     val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxShingleDf))
     val posting = sh.join(rare.select(col("shingle")), Seq("shingle"), "left_semi")
@@ -140,7 +145,11 @@ object Dedup {
   def simhash(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    // null-text docs yield no sketch row (the sketch is a non-null long, so
+    // SQL-style null propagation has no representation here; the typed map
+    // would NPE)
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) => (id, simhash60(text)) }
       .toDF("doc_id", "simhash")
   }
@@ -185,9 +194,18 @@ object Dedup {
     sig
   }
 
-  /** token k-shingling shared by the compiled dedup paths (same semantics
-    * as the `shingles` column op and the q14/q39/q42 oracles: trim → lower
-    * → whitespace split → sliding k, whole-text gram when shorter).
+  /** token k-shingling shared by the compiled dedup paths (same token/gram
+    * rules as the `shingles` column op and the q14/q39/q42 oracles: trim →
+    * lower → whitespace split → sliding k, whole-text gram when shorter).
+    *
+    * Lowercasing caveat: this path pins `Locale.ROOT`; the column op's SQL
+    * `lower()` is locale-independent for ASCII but routes non-ASCII through
+    * `String.toLowerCase()` under the executor JVM's DEFAULT locale
+    * (UTF8String slow path). The two agree on all-ASCII text and on any
+    * cluster whose JVMs run a root-like locale; a non-ROOT default (e.g.
+    * tr_TR's dotted/dotless i) diverges on non-ASCII — pin the executor JVM
+    * locale (`-Duser.language=`) in real deployments, which a heterogeneous
+    * cluster needs for ANY locale-sensitive SQL function anyway.
     */
   def kShingles(text: String, k: Int): Array[String] = {
     val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
@@ -222,7 +240,8 @@ object Dedup {
     require(numPerms % rowsPerBand == 0, "numPerms must divide into bands")
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    val sh = docs.filter(col("text").isNotNull) // typed flatMap would NPE
+      .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val grams = kShingles(text, k)
         if (grams.isEmpty) None else Some((id, grams.toSeq))
@@ -253,13 +272,22 @@ object Dedup {
 
   /** SimHash near-dup pairs: block on 4 bands of 15 bits, verify Hamming
     * distance ≤ maxHamming via bit_count(xor).
+    *
+    * Blank/whitespace-only docs are excluded BEFORE sketching: every blank
+    * doc sketches to simhash 0, so at web scale they would all share
+    * identical keys in all four bands and form one quadratic mega-bucket
+    * (n blank docs → ~n²/2 zero-distance pairs in one task's key group) —
+    * the same hazard `shingles()` engineers out of the MinHash paths. A
+    * blank doc is not a meaningful near-dup of anything; exact dedup
+    * (`exact`) is the operator that groups them.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     // eager localCheckpoint, not cache(): the sketch feeds both self-join
     // sides, and a cache() here can never be unpersisted by the caller (the
     // returned plan references it) — checkpoint blocks are reclaimed by the
     // ContextCleaner once the returned plan is GC'd
-    val sig = simhash(docs).localCheckpoint(true)
+    val sig = simhash(docs.filter(trim(col("text")) =!= ""))
+      .localCheckpoint(true)
     val bands = (0 until 4).map(bI => struct(lit(bI).as("band"),
       shiftright(col("simhash"), bI * 15).bitwiseAND(0x7fffL).as("key")))
     val banded = sig.select(col("doc_id"), col("simhash"),

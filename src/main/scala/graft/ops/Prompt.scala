@@ -49,7 +49,7 @@ object Prompt {
       val ruleChars = rule.map(_.toString)
       val origin = (w ++ Stem ++ ruleChars) :+ ","
       val prompt = (w ++ Stem ++ Seq.fill(ruleChars.length)(Mask)) :+ ","
-      val mask = (Seq.fill(w.length)(1) ++ Seq(1, 1, 1) ++
+      val mask = (Seq.fill(w.length)(1) ++ Seq.fill(Stem.length)(1) ++
         Seq.fill(ruleChars.length)(0)) :+ 1
       val ptags = tags ++ Seq.fill(prompt.length - w.length)(DefaultTag)
       PromptRow(prompt, mask, ptags, origin)

@@ -25,9 +25,17 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(vec_dot(a, a))
 
-  /** cosine = a·b / (|a| max(|b|, ε)) — three codegen'd dots, no HOFs. */
+  /** cosine = a·b / (max(|a|, ε) max(|b|, ε)) — three codegen'd dots, no
+    * HOFs. BOTH norms are ε-guarded: a zero-norm vector on either side
+    * yields 0/ε = 0, never 0/0 = NaN — and Spark sorts NaN GREATER than
+    * every number, so an unguarded NaN row would pass every `>= threshold`
+    * filter and rank FIRST in every top-k window (k arbitrary "nearest"
+    * neighbors for a zero embedding instead of none). Mirrored exactly in
+    * the DuckDB oracle SQL (SparkEntry.cosineSql).
+    */
   def cosine(a: Column, b: Column): Column =
-    vec_dot(a, b) / (sqrt(vec_dot(a, a)) * greatest(sqrt(vec_dot(b, b)), lit(1e-12)))
+    vec_dot(a, b) / (greatest(sqrt(vec_dot(a, a)), lit(1e-12)) *
+      greatest(sqrt(vec_dot(b, b)), lit(1e-12)))
 
   /** Interpreted higher-order-function dot — reference implementation for
     * VectorExprSpec parity only; do not use on hot paths.
@@ -208,6 +216,10 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 2, dim: Int = 64,
               kmeansIters: Int = 2, minScore: Double = -1.0,
               maxExprCells: Int = MaxExprCells): DataFrame = {
+    // nprobe = 0 would fail asymmetrically across the envelope: the
+    // expression path's slice(..., 1, 0) yields silently-empty results while
+    // the loop path's top-nprobe UDF indexes ts(-1) — fail eagerly instead
+    require(nprobe > 0, s"nprobe must be ≥ 1, got $nprobe")
     val cents = kmeansCentroids(corpus, nlist, dim, kmeansIters,
       maxExprCells = maxExprCells)
     // the envelope is keyed on cents.length EVERYWHERE (assignment, probing,
@@ -297,8 +309,8 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               planes: Int = 6, dim: Int = 64): DataFrame = {
     val q = withSignBucket(
-      queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-        .withColumnRenamed("qv", "embedding"), planes, dim)
+      queries.select(col("vec_id").as("query_id"), col("embedding")),
+      planes, dim)
       .withColumnRenamed("embedding", "qv")
     val c = withSignBucket(corpus, planes, dim)
       .select(col("bucket"), col("vec_id").as("neighbor_id"),

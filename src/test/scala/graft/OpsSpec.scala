@@ -145,6 +145,44 @@ class DedupEdgeSpec extends SparkSpecBase {
     assert(!pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
       "blank docs paired via the empty gram")
   }
+
+  test("degenerate docs: null text never crashes, blank docs never simhash-pair") {
+    val docs = Seq((1L, null: String), (2L, ""), (3L, "  "),
+      (4L, "one two three four five"), (5L, "one two three four five six"))
+      .toDF("doc_id", "text")
+    // typed paths must tolerate the null row (column siblings null-propagate)
+    assert(Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5).collect()
+      .forall(r => r.getLong(0) >= 4L))
+    assert(Dedup.minhash60Pairs(docs, k = 3, threshold = 0.3).collect()
+      .forall(r => r.getLong(0) >= 4L))
+    assert(Dedup.simhash(docs).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(2L, 3L, 4L, 5L)) // null dropped; blanks still sketch (to 0)
+    // blanks all sketch to 0 — they must NOT flood the pair output
+    val sp = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(!sp.contains((2L, 3L)), s"blank docs paired: ${sp.toSeq}")
+  }
+
+  test("zero-norm embeddings score cosine 0, never NaN-rank first") {
+    val emb = Seq(
+      (0L, Array.fill(4)(0f)), // zero vector
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    // a zero-norm query must rank TRUE neighbors of other queries unharmed
+    // and, with a positive score floor, rank nothing itself
+    val ranked = Similarity.bruteForceTopK(
+      emb.filter(col("vec_id").isin(0L, 1L)), emb, k = 2, minScore = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(!ranked.exists(_._1 == 0L), s"zero-norm query ranked: ${ranked.toSeq}")
+    assert(ranked.filter(_._1 == 1L).sortBy(_._3).map(_._2).toSeq == Seq(2L),
+      s"true neighbor ranking disturbed: ${ranked.toSeq}")
+    // near-dup pairs: the zero vector shares a sign bucket with others but
+    // must emit no NaN pair
+    val nd = Dedup.cosineNearDupPairs(emb, threshold = 0.9, planes = 2, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nd.toSet == Set((1L, 2L)), s"got: ${nd.toSeq}")
+  }
 }
 
 class PromptSpec extends SparkSpecBase {
