@@ -1,6 +1,6 @@
 package graft.stages
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.core._
@@ -96,7 +96,7 @@ object Canon {
     // count); the previous iteration's checksum is carried forward so each
     // round costs ONE action beyond the eager checkpoint
     var prev = checksum(edges)
-    if (prev(0) <= maxLocalEdges) {
+    if (prev.count <= maxLocalEdges) {
       // dictionary-sized graph: one collect + driver union-find replaces
       // ~log(n) rounds of distributed self-joins (each several jobs) —
       // min-id canonical election under the SAME UTF-8 binary ordering the
@@ -110,7 +110,7 @@ object Canon {
       // each round costs exactly ONE job
       val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val cur = checksum(next)
-      converged = prev(0) == cur(0) && prev(1) == cur(1)
+      converged = prev.same(cur)
       prev = cur
       edges.unpersist(false)
       edges = next
@@ -166,13 +166,31 @@ object Canon {
     vertices.toSeq.map(v => (v, find(v))).toDF("id", "canonical_id")
   }
 
-  private def checksum(df: DataFrame): Array[Long] = {
-    // pmod bounds each term < 2^31 so the Long sum cannot overflow under
-    // ANSI mode even at billions of edges
+  /** Order-insensitive edge-multiset fingerprint. A false "equal" here ends
+    * the star loop with `converged = true` and SILENTLY wrong canonical ids,
+    * so the fingerprint is built to make that a non-event: TWO independent
+    * 31-bit hash-sum streams (distinct xxhash64 seeds via a salt column)
+    * take the per-round collision odds from ~2^-31 (one stream — a real
+    * hazard over many rounds × many runs) to ~2^-62, and the sums accumulate
+    * as decimal(38,0), which cannot overflow below ~10^28 edges — a Long sum
+    * of 2^31-bounded terms wraps (or throws under ANSI) from ~4×10^9 edges,
+    * well inside this stage's documented scale.
+    */
+  private final case class EdgeChecksum(count: Long, h1: java.math.BigDecimal,
+                                        h2: java.math.BigDecimal) {
+    def same(o: EdgeChecksum): Boolean =
+      count == o.count && h1.compareTo(o.h1) == 0 && h2.compareTo(o.h2) == 0
+  }
+
+  private def checksum(df: DataFrame): EdgeChecksum = {
+    def stream(salted: Column*): Column =
+      coalesce(sum(pmod(xxhash64(salted: _*), lit(2147483647L))
+        .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)"))
     val r = df.agg(count(lit(1)),
-        coalesce(sum(pmod(xxhash64(col("src"), col("dst")), lit(2147483647L))), lit(0L)))
+        stream(col("src"), col("dst")),
+        stream(lit(0x5eed5eedL), col("src"), col("dst")))
       .head()
-    Array(r.getLong(0), r.getLong(1))
+    EdgeChecksum(r.getLong(0), r.getDecimal(1), r.getDecimal(2))
   }
 
   /** Resolve linked mentions to canonical ids. Vertices absent from the

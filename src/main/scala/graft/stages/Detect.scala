@@ -51,12 +51,21 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
   @transient private lazy val sparseTrans: Viterbi.SparseBmes =
     Viterbi.SparseBmes.build(transitions).orNull
   private val oIdx = tagSet.indexOf("O")
-  // per-label precomputed BMES tag-index rows: bIdx(label), iIdx, eIdx, sIdx
+  // per-label precomputed BMES tag-index rows: bIdx(label), i/mIdx, eIdx,
+  // sIdx. Middle tags may be named I- (this corpus) or M- (the reference's
+  // BMES naming, which spanOne/bmesTransitions already accept); a tag set
+  // missing any of the four rows fails HERE, at construction — an
+  // unvalidated indexOf would return -1 and vote() would silently write
+  // emissions into the previous position's last tag slot.
   private val labelIdx: Map[String, (Int, Int, Int, Int)] =
     tagSet.collect { case t if t.startsWith("B-") => Tags.typeOf(t) }
       .map { lbl =>
-        lbl -> ((tagSet.indexOf(s"B-$lbl"), tagSet.indexOf(s"I-$lbl"),
-          tagSet.indexOf(s"E-$lbl"), tagSet.indexOf(s"S-$lbl")))
+        def idx(p: String): Int = tagSet.indexOf(s"$p-$lbl")
+        val im = if (idx("I") >= 0) idx("I") else idx("M")
+        val (b, e, sg) = (idx("B"), idx("E"), idx("S"))
+        require(b >= 0 && im >= 0 && e >= 0 && sg >= 0,
+          s"tagSet lacks a full B/I|M/E/S row for label '$lbl': $tagSet")
+        lbl -> ((b, im, e, sg))
       }.toMap
   // per-tag-index decompositions for the span fast path: head char and type
   // string, so span extraction never materializes or parses tag strings

@@ -446,6 +446,25 @@ object Triples {
     for (p <- pers; q <- prevPers; if p != q)
       yield Triple(p, "follows_up", q, convId, turnIdx)
 
+  /** Within-turn mention ordering for streaming consumers — EXACTLY the
+    * batch path's `sort_array` over struct(start, label, canonical_id):
+    * Int ascending, then UTF-8 binary collation on the strings (a plain
+    * Java-String sort would diverge on supplementary-plane ids, the same
+    * hazard `TripleDict.utf8Order` exists for). A start-only sort would
+    * leave start-ties in groupBy arrival order — nondeterministic across
+    * replays, breaking streaming≡batch.
+    */
+  private[graft] val mentionKeyOrder: Ordering[(Int, String, String)] =
+    new Ordering[(Int, String, String)] {
+      def compare(a: (Int, String, String), b: (Int, String, String)): Int = {
+        val c0 = java.lang.Integer.compare(a._1, b._1)
+        if (c0 != 0) return c0
+        val c1 = TripleDict.utf8Order.compare(a._2, b._2)
+        if (c1 != 0) return c1
+        TripleDict.utf8Order.compare(a._3, b._3)
+      }
+    }
+
   /** Per-conversation triple counts with **two-phase salted aggregation**:
     * partial count on (conv_id, salt) spreads a hot conversation over S
     * reducers, final sum on conv_id sees at most S rows per conversation.

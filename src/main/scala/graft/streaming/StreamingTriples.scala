@@ -47,10 +47,6 @@ object StreamingTriples {
       surface: String, entity_id: String, canonical_id: String,
       ts: java.sql.Timestamp)
 
-  private def toCanon(t: TimedCanonMention): CanonMention =
-    CanonMention(t.conv_id, t.turn_idx, t.start, t.end, t.label, t.surface,
-      t.entity_id, t.canonical_id)
-
   /** Shared per-group rule body (delegates to the batch stage's single
     * source of truth, `Triples.withinTurnTriples`/`followUps`).
     */
@@ -59,7 +55,11 @@ object StreamingTriples {
     val byTurn = rows.groupBy(_.turn_idx).toSeq.sortBy(_._1)
     var st = st0
     val out = byTurn.iterator.flatMap { case (turnIdx, ms0) =>
-      val ms = ms0.sortBy(_.start).map(m => (m.start, m.label, m.canonical_id))
+      // full (start, label, canonical_id) key, NOT start alone: start-ties
+      // would otherwise keep groupBy arrival order — nondeterministic across
+      // replays and divergent from the batch sort_array
+      val ms = ms0.map(m => (m.start, m.label, m.canonical_id))
+        .sorted(Triples.mentionKeyOrder)
       val pers = ms.filter(_._2 == "PER").map(_._3)
       val within = Triples.withinTurnTriples(convId, turnIdx, ms)
       val cross =
@@ -137,7 +137,9 @@ object StreamingTriples {
             val byTurn = rows.toSeq.groupBy(_.turn_idx).toSeq.sortBy(_._1)
             byTurn.foreach { case (turnIdx, ms0) =>
               val ts = ms0.iterator.map(_.ts.getTime).max
-              val ms = ms0.sortBy(_.start).map(m => (m.start, m.label, m.canonical_id))
+              val ms = ms0.map(m => (m.start, m.label, m.canonical_id))
+                .sorted(Triples.mentionKeyOrder) // batch sort_array order
+
               val pers = ms.filter(_._2 == "PER").map(_._3)
               out ++= Triples.withinTurnTriples(convId, turnIdx, ms).distinct
               // link to the previous turn if it has already arrived …

@@ -188,6 +188,29 @@ class DetectFastPathSpec extends SparkSpecBase {
     }
   }
 
+  test("M- middle-tag naming (reference BMES) decodes identically to I-; partial tag sets fail loudly") {
+    val aliases = Transcripts.aliasRows
+    val dict = aliases.map(r => r.surface -> r.label).toMap
+    val trie = Trie(aliases.map(_.surface))
+    val iTags = Transcripts.tagSet // O, B-X, I-X, E-X, S-X
+    val mTags = iTags.map(t => if (t.startsWith("I-")) "M-" + t.drop(2) else t)
+    val a = new LexiconCrfTagger(trie, dict, iTags)
+    val b = new LexiconCrfTagger(trie, dict, mTags)
+    for (t <- Seq("Alice Varga joined Acme Corp in Berlin", "",
+                  aliases.map(_.surface).mkString(" "))) {
+      assert(a.spanOne(t) == b.spanOne(t), s"I-/M- decode diverged on '$t'")
+      assert(a.tagOne(t).map(x => if (x.startsWith("I-")) "M-" + x.drop(2) else x)
+        .sameElements(b.tagOne(t)), s"on '$t'")
+    }
+    // a tag set missing the middle row must fail at CONSTRUCTION, not write
+    // emissions through index -1 at decode time
+    val broken = iTags.filterNot(_.startsWith("I-"))
+    val e = intercept[IllegalArgumentException] {
+      new LexiconCrfTagger(trie, dict, broken).spanOne("Alice Varga")
+    }
+    assert(e.getMessage.contains("lacks a full B/I|M/E/S row"))
+  }
+
   test("property: spanOne ≡ getEntities(tagOne) on random alias/noise mixtures") {
     val aliases = Transcripts.aliasRows
     val tagger = new LexiconCrfTagger(Trie(aliases.map(_.surface)),
