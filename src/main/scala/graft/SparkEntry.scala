@@ -431,7 +431,7 @@ object SparkEntry {
     }),
     "q45_merge_labels" -> ((s, dir) => {
       // label-file merge preserving first-seen order (merge_json.py:17-33)
-      val merged = graft.io.Formats.mergeLabelLists(s, Seq(
+      val merged = graft.io.Formats.mergeLabelLists(Seq(
         graft.io.Formats.readTagList(s"$FixturesDir/labels_a.txt"),
         graft.io.Formats.readTagList(s"$FixturesDir/labels_b.txt")))
       s.createDataFrame(merged.zipWithIndex.map { case (l, i) => (i, l) })

@@ -54,9 +54,14 @@ object Tags {
     out.toList
   }
 
-  /** BMES label sequence for an entity of `length` chars (label.py:47-55). */
+  /** BMES label sequence for an entity of `length` chars (label.py:47-55).
+    * `length ≤ 0` fails loudly — the reference raises IndexError there too
+    * (`labels[-1]` on an empty list), but with no hint which caller passed
+    * a degenerate span.
+    */
   def getLabels(label: String, length: Int, hasEnd: Boolean = true,
                 middleSymbol: String = "I", hasSingle: Boolean = true): Array[String] = {
+    require(length > 0, s"getLabels('$label', $length): length must be ≥ 1")
     val labels = Array.fill(length)(s"$middleSymbol-$label")
     if (length == 1 && hasSingle) { labels(0) = s"S-$label"; return labels }
     if (hasEnd) labels(length - 1) = s"E-$label"

@@ -262,11 +262,8 @@ object Formats {
     * (`vocab_tag.py:58-71`; word may be a char list that joins to the token).
     */
   def readTaggedVocabJsonl(spark: SparkSession, path: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("w", StringType), StructField("t", ArrayType(StringType))))
     spark.read.text(path)
-      .select(from_json(col("value"), ArrayType(StringType)).as("arr"),
-        get_json_object(col("value"), "$[0]").as("word_raw"),
+      .select(get_json_object(col("value"), "$[0]").as("word_raw"),
         from_json(get_json_object(col("value"), "$[1]"), ArrayType(StringType)).as("tags"))
       .select(
         // word may itself be a JSON char array → join it (vocab_tag.py:51-52);
@@ -305,9 +302,10 @@ object Formats {
     dfs.reduce(_.unionByName(_))
 
   /** Label-file merge preserving first-seen order (`merge_json.py:17-33`):
-    * dedup + order index from the earliest source position.
+    * dedup + order index from the earliest source position. Pure driver-side
+    * merge (label files are tiny) — no SparkSession involved.
     */
-  def mergeLabelLists(spark: SparkSession, lists: Seq[Seq[String]]): Seq[String] = {
+  def mergeLabelLists(lists: Seq[Seq[String]]): Seq[String] = {
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     lists.foreach(_.foreach(seen.add))
     seen.toSeq

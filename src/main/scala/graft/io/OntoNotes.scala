@@ -36,10 +36,44 @@ object OntoNotes {
     if (s == null) Vector.empty
     else s.replaceAll("[^\\S\\n]", "").map(_.toString).toVector
 
+  /** ElementTree `.text` semantics (the reference's `child.text`, `:29,49`):
+    * the contiguous text before the element's FIRST child element — text
+    * inside or after nested markup is EXCLUDED, unlike DOM
+    * `getTextContent`, which concatenates every descendant (nested ENAMEX
+    * annotations occur in OntoNotes and would otherwise shift the char
+    * stream for the whole rest of the document). Comments/PIs are skipped
+    * and the text around them merged, matching ET's default parser, which
+    * drops them. (Deviation: where ET yields `text = None` and the
+    * reference's `re.sub` would raise TypeError, this returns "" — a
+    * graceful superset of the reference's crash.)
+    */
+  private def etText(el: org.w3c.dom.Element): String = {
+    val kids = el.getChildNodes
+    val sb = new StringBuilder
+    var i = 0
+    var done = false
+    while (!done && i < kids.getLength) {
+      val k = kids.item(i)
+      k.getNodeType match {
+        case org.w3c.dom.Node.TEXT_NODE | org.w3c.dom.Node.CDATA_SECTION_NODE =>
+          sb.append(k.getNodeValue)
+        case org.w3c.dom.Node.ELEMENT_NODE => done = true
+        case _ => () // comment/PI: ET drops the node and merges its flanks
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** One `.name` XML document → (chars, labels) stream (`:18-53`). */
   def parseNameXml(xml: String): (Vector[String], Vector[String]) = {
     val factory = javax.xml.parsers.DocumentBuilderFactory.newInstance()
     factory.setNamespaceAware(false)
+    // corpus .name files carry no DOCTYPE; disallowing it outright closes
+    // XXE (external-entity file reads / DTD fetches on executor hosts from
+    // a hostile file landing in the corpus glob)
+    factory.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    factory.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
     val doc = factory.newDocumentBuilder()
       .parse(new org.xml.sax.InputSource(new java.io.StringReader(xml)))
     val root = doc.getDocumentElement
@@ -54,7 +88,7 @@ object OntoNotes {
         case org.w3c.dom.Node.ELEMENT_NODE =>
           seenElement = true
           val el = n.asInstanceOf[org.w3c.dom.Element]
-          val inner = clean(el.getTextContent)
+          val inner = clean(etText(el)) // ET child.text, NOT getTextContent
           val tags =
             if (el.getTagName == "ENAMEX" && ExpectLabels(el.getAttribute("TYPE"))
                 && inner.nonEmpty) {
@@ -85,9 +119,12 @@ object OntoNotes {
     var last = 0
     var idx = 0
     def emit(from: Int, until: Int): Unit = {
-      val t = chars.slice(from, until)
-      if (!t.mkString.startsWith("（完）")) {
-        out += ((idx, t, labels.slice(from, until)))
+      // prefix test on the first three single-char elements — no
+      // whole-sentence mkString in this distributed flatMap hot path
+      val drop = until - from >= 3 && chars(from) == "（" &&
+        chars(from + 1) == "完" && chars(from + 2) == "）"
+      if (!drop) {
+        out += ((idx, chars.slice(from, until), labels.slice(from, until)))
         idx += 1
       }
     }

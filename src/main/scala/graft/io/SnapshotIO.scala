@@ -109,7 +109,7 @@ object SnapshotIO {
       // (maxPartitionBytes bin-packing / large-file splitting), which made
       // spark_partition_id() of the read-back reflect reader config, not
       // the stage's stored layout.
-      import org.apache.spark.sql.functions.{col, count, input_file_name, lit, regexp_extract}
+      import org.apache.spark.sql.functions.{coalesce => cfn, col, count, input_file_name, lit, regexp_extract, sum}
       val partCounts = spark.read.parquet(tmp.toString)
         .groupBy(regexp_extract(input_file_name(), "part-(\\d+)", 1)
           .cast("int").as("partition_id"))
@@ -118,11 +118,18 @@ object SnapshotIO {
         .withColumn("snapshot", lit(inputHash))
         .select(col("stage"), col("snapshot"), col("partition_id"), col("rows"))
         .cache()
-      val rows = partCounts.agg(org.apache.spark.sql.functions.sum(col("rows")))
+      // coalesce: a legitimately EMPTY stage output has zero metric rows and
+      // sum = null — an unguarded getLong threw here after the data write but
+      // before commit, wedging the (stage, inputHash) pair forever (every
+      // resume recomputed and crashed at the same line)
+      val rows = partCounts.agg(cfn(sum(col("rows")), lit(0L)))
         .head().getLong(0)
-      partCounts.coalesce(1).write.mode("overwrite")
-        .parquet(Paths.get(base, "_metrics", stage, inputHash).toString)
-      partCounts.unpersist()
+      // the metrics table is PUBLISHED only after winning the commit (see
+      // below): written here, a racing loser or a crash-before-commit would
+      // leave lineage rows describing a tmp dir that no longer exists
+      def publishMetrics(): Unit =
+        partCounts.coalesce(1).write.mode("overwrite")
+          .parquet(Paths.get(base, "_metrics", stage, inputHash).toString)
 
       def manifestJson(dataDir: Option[String]): String = {
         val counterJson = (counters + ("rows" -> rows))
@@ -133,7 +140,7 @@ object SnapshotIO {
           .stripMargin.replace("\n", "")
       }
 
-      protocol match {
+      try protocol match {
         case AtomicRename =>
           // re-check for a concurrent winner IMMEDIATELY before the
           // destructive steps: without it, a writer that raced past the
@@ -161,9 +168,14 @@ object SnapshotIO {
                     s"snapshot commit lost its staged data dir $tmp to a " +
                       "concurrent orphan sweep; re-run to recompute the stage")
               }
-            if (won)
+            if (won) {
               Files.write(dir.resolve("_manifest.json"), // manifest last = commit point
                 manifestJson(None).getBytes(StandardCharsets.UTF_8))
+              // post-commit: lineage describes the COMMITTED snapshot (a
+              // crash right here leaves a committed snapshot without metrics
+              // — telemetry gap, never a lie)
+              publishMetrics()
+            }
           }
         case ManifestPointer =>
           // commit = create-new manifest PUT; the data dir is never moved.
@@ -186,11 +198,12 @@ object SnapshotIO {
                 s"snapshot commit lost its data dir $tmp to a concurrent " +
                   "orphan sweep; manifest rolled back — re-run to recompute")
             }
+            publishMetrics() // post-commit, same contract as AtomicRename
           } catch {
             case _: java.nio.file.FileAlreadyExistsException =>
               deleteRecursively(tmp) // lost the publish race
           }
-      }
+      } finally partCounts.unpersist()
     }
     readSnapshot(spark, dir)
   }

@@ -169,6 +169,22 @@ class FormatsSpec extends SparkSpecBase {
       && OntoNotes.labelList.length == 17)
   }
 
+  test("OntoNotes4: ElementTree .text parity on nested markup; DOCTYPE rejected") {
+    import graft.io.OntoNotes
+    // nested element inside an ENAMEX: the reference's child.text sees ONLY
+    // the text before the nested element ("张" here) — DOM getTextContent
+    // would see 张三 and shift the whole downstream char stream
+    val xml = "<DOC>x\n<ENAMEX TYPE=\"PERSON\">张<b>三</b>后</ENAMEX>在家</DOC>"
+    val (chars, labels) = OntoNotes.parseNameXml(xml)
+    assert(chars.mkString == "张在家", chars)
+    assert(labels == Vector("S-PERSON", "O", "O"), labels)
+    // XXE hardening: any DOCTYPE (the external-entity vector) is rejected
+    intercept[org.xml.sax.SAXParseException] {
+      OntoNotes.parseNameXml(
+        "<!DOCTYPE d [<!ENTITY x SYSTEM \"file:///etc/hostname\">]><DOC>a\n&x;</DOC>")
+    }
+  }
+
   test("OntoNotes4 distributed read + eval/test alternation (ontonotes4.py:74-100)") {
     import graft.io.OntoNotes
     val dir = java.nio.file.Files.createTempDirectory("onto").toString
@@ -252,7 +268,7 @@ class FormatsSpec extends SparkSpecBase {
   }
 
   test("label merge preserves first-seen order (merge_json.py:17-33)") {
-    val merged = Formats.mergeLabelLists(spark,
+    val merged = Formats.mergeLabelLists(
       Seq(Seq("O", "B-PER"), Seq("B-PER", "B-ORG"), Seq("O", "S-LOC")))
     assert(merged == Seq("O", "B-PER", "B-ORG", "S-LOC"))
   }

@@ -241,6 +241,28 @@ class ResumeSpec extends SparkSpecBase {
     SnapshotIO.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("an EMPTY stage output commits and resumes under both protocols") {
+    import graft.io.SnapshotIO
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    val empty = spark.range(0).selectExpr("id", "cast(id as string) as s")
+    // the metrics sum over zero lineage rows is null — an unguarded getLong
+    // crashed here post-write/pre-commit, wedging the stage forever
+    val out1 = SnapshotIO.resumeOrCompute(spark, dir, "stg", "h0")(empty.toDF())
+    assert(out1.count() == 0)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      SnapshotIO.snapshotDir(dir, "stg", "h0").resolve("_manifest.json")))
+    assert(manifest.contains("\"rows\":0"), manifest)
+    var computed = false
+    val out2 = SnapshotIO.resumeOrCompute(spark, dir, "stg", "h0") {
+      computed = true; empty.toDF()
+    }
+    assert(out2.count() == 0 && !computed, "resume must not recompute")
+    val out3 = SnapshotIO.resumeOrCompute(spark, dir, "stg2", "h0",
+      protocol = SnapshotIO.ManifestPointer)(empty.toDF())
+    assert(out3.count() == 0)
+    SnapshotIO.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("orphan sweep: TTL-aged orphans reclaimed, deep-fresh writers kept") {
     import graft.io.SnapshotIO
     import java.nio.file.{Files, Path, Paths}
