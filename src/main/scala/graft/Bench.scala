@@ -6,10 +6,14 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * The KG pipeline itself is covered by the q21–q24 entries (each runs the
-  * full detect→link→canon→triples flow over the synthesized transcript
-  * corpus sized for the sf dir); `graft.Scaling` produces the two-
-  * parallelism throughput/efficiency evidence for BENCH.md.
+  * The KG pipeline itself is covered by the q21–q24 entries over the
+  * synthesized transcript corpus sized for the sf dir. They share ONE
+  * session-memoized `Pipeline.run` Result: the first of them to execute
+  * pays the full detect→link→canon→triples flow and the rest time reads of
+  * the persisted stages — so only that first query's time is a pipeline
+  * measurement (per-stage walls live in `graft.ProfilePure`;
+  * `graft.Scaling` produces the two-parallelism throughput/efficiency
+  * evidence for BENCH.md).
   */
 object Bench {
   def main(args: Array[String]): Unit = {

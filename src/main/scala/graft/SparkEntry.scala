@@ -426,7 +426,10 @@ object SparkEntry {
             x => x.getField("word"))).as("words"),
           concat_ws(",", transform(
             sort_array(collect_list(struct(col("line_no"), col("tag")))),
-            x => x.getField("tag"))).as("tags_csv"))
+            // null tag (separator-less line) → empty slot: concat_ws SKIPS
+            // nulls, which would silently shorten tags_csv and misalign it
+            // against n_tokens and the oracle's split_part '' slots
+            x => coalesce(x.getField("tag"), lit("")))).as("tags_csv"))
         .orderBy(col("sentence_id"))
     }),
     "q45_merge_labels" -> ((s, dir) => {
@@ -528,7 +531,11 @@ object SparkEntry {
   }.mkString(" + ")
 
   private val duckSimhashCtes =
-    s"""WITH toksrc AS (SELECT doc_id, list_distinct($duckToks) AS ts FROM documents),
+    // text IS NOT NULL mirrors Dedup.simhash's null-row drop — without it a
+    // NULL-text doc null-propagates through the token list and surfaces as a
+    // spurious simhash=0 row the Spark side never emits
+    s"""WITH toksrc AS (SELECT doc_id, list_distinct($duckToks) AS ts
+           FROM documents WHERE text IS NOT NULL),
        hsv AS (SELECT doc_id, list_transform(ts, t -> ${duckHash60("t")}) AS hs FROM toksrc),
        sig AS (SELECT doc_id, CAST($duckSimhashTerms AS BIGINT) AS simhash FROM hsv)"""
 
@@ -809,10 +816,10 @@ object SparkEntry {
            ON v.vec_id = e.vec_id
          WHERE v.vec_id < 60 ORDER BY word""",
     "q17_cosine_topk" ->
-      """SELECT query_id, neighbor_id, rank FROM (
+      s"""SELECT query_id, neighbor_id, rank FROM (
            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              ROW_NUMBER() OVER (PARTITION BY q.vec_id
-               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+               ORDER BY ${duckCosine("q.embedding", "c.embedding")} DESC,
                         c.vec_id ASC) AS rank
            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
            WHERE q.vec_id < 5)
@@ -922,23 +929,46 @@ object SparkEntry {
     // --- IO tier over the committed fixtures (read with DuckDB's own
     //     readers: read_json / read_text — fully independent of Spark) -----
     "q43_jsonl_sentences" ->
-      s"""SELECT (label IS NULL OR len(text) = len(label)) AS valid, COUNT(*) AS n_rows,
-         CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
-         CAST(SUM(len(label)) AS BIGINT) AS sum_label_chars
-         FROM read_json('$FixturesDir/sentences.jsonl', format='newline_delimited',
-           columns={text: 'VARCHAR[]', label: 'VARCHAR[]'})
-         GROUP BY 1 ORDER BY 1""",
+      // read_text + per-line json parsing, NOT strict read_json: the reader's
+      // lenient mode routes malformed JSON to the counted _valid=false group,
+      // which a strict read_json oracle could only abort on. Validity mirrors
+      // readSentencesJsonl: parseable AND text present/castable AND (label
+      // absent OR castable with len(text)=len(label)); blank lines (Java
+      // trim) are skipped like Spark's JSON source does.
+      s"""WITH raw AS (SELECT string_split(content, chr(10)) AS ls
+             FROM read_text('$FixturesDir/sentences.jsonl')),
+         lines AS (SELECT UNNEST(ls) AS line FROM raw),
+         -- json_extract THROWS on malformed JSON in DuckDB — every extract
+         -- is gated behind json_valid
+         rows_ AS (SELECT json_valid(line) AS jv,
+             TRY_CAST(CASE WHEN json_valid(line)
+               THEN json_extract(line, '$$.text') END AS VARCHAR[]) AS text,
+             CASE WHEN json_valid(line)
+               THEN json_extract(line, '$$.label') END AS label_j,
+             TRY_CAST(CASE WHEN json_valid(line)
+               THEN json_extract(line, '$$.label') END AS VARCHAR[]) AS label
+           FROM lines WHERE NOT regexp_matches(line, '^[\\x00-\\x20]*$$')),
+         checked AS (SELECT (jv AND text IS NOT NULL AND (label_j IS NULL OR
+             (label IS NOT NULL AND len(text) = len(label)))) AS valid,
+             text, label FROM rows_)
+         SELECT valid, COUNT(*) AS n_rows,
+           CAST(SUM(len(text)) AS BIGINT) AS sum_chars,
+           CAST(SUM(len(label)) AS BIGINT) AS sum_label_chars
+         FROM checked GROUP BY 1 ORDER BY 1""",
     "q44_conll_sentences" ->
       s"""WITH raw AS (SELECT string_split(content, chr(10)) AS ls
              FROM read_text('$FixturesDir/sample.conll')),
          lines AS (SELECT UNNEST(range(1, len(ls)+1)) AS line_no, UNNEST(ls) AS line FROM raw),
+         -- blank = Java String.trim semantics (any run of chars <= U+0020),
+         -- matching readConll's contract — DuckDB's trim() strips spaces only
          seg AS (SELECT line_no, line,
-             CAST(SUM(CASE WHEN trim(line)='' THEN 1 ELSE 0 END) OVER (ORDER BY line_no
+             CAST(SUM(CASE WHEN regexp_matches(line, '^[\\x00-\\x20]*$$') THEN 1 ELSE 0 END)
+               OVER (ORDER BY line_no
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sentence_id
            FROM lines),
          toks AS (SELECT sentence_id, line_no, split_part(line,' ',1) AS word,
              split_part(line,' ',2) AS tag
-           FROM seg WHERE trim(line) <> '')
+           FROM seg WHERE NOT regexp_matches(line, '^[\\x00-\\x20]*$$'))
          SELECT sentence_id, COUNT(*) AS n_tokens,
            string_agg(word, ' ' ORDER BY line_no) AS words,
            string_agg(tag, ',' ORDER BY line_no) AS tags_csv
@@ -948,8 +978,12 @@ object SparkEntry {
              FROM read_text('$FixturesDir/labels_a.txt')),
          fb AS (SELECT string_split(content, chr(10)) AS ls
              FROM read_text('$FixturesDir/labels_b.txt')),
-         la AS (SELECT UNNEST(range(1, len(ls)+1)) AS pos, trim(UNNEST(ls)) AS label FROM fa),
-         lb AS (SELECT UNNEST(range(1, len(ls)+1)) + 1000000 AS pos, trim(UNNEST(ls)) AS label FROM fb),
+         -- Java String.trim (strips all chars <= U+0020, matching
+         -- readTagList), not DuckDB trim (spaces only)
+         la AS (SELECT UNNEST(range(1, len(ls)+1)) AS pos,
+             regexp_replace(UNNEST(ls), '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g') AS label FROM fa),
+         lb AS (SELECT UNNEST(range(1, len(ls)+1)) + 1000000 AS pos,
+             regexp_replace(UNNEST(ls), '^[\\x00-\\x20]+|[\\x00-\\x20]+$$', '', 'g') AS label FROM fb),
          allr AS (SELECT * FROM la UNION ALL SELECT * FROM lb),
          firsts AS (SELECT label, MIN(pos) AS fp FROM allr WHERE label <> '' GROUP BY label)
          SELECT CAST(row_number() OVER (ORDER BY fp) - 1 AS INT) AS ord, label
