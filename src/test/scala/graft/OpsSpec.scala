@@ -111,6 +111,22 @@ class DedupSpec extends SparkSpecBase {
       s"shingle flatMap lineage must not survive into the pair plan:\n$p")
   }
 
+  test("ngram-jaccard shingle relation is materialized once (checkpointed), not re-derived per consumer") {
+    val df = Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5)
+    // sh feeds the df-count agg AND the semi-join side with DIFFERENT
+    // exchanges (partial-agg rows vs raw rows), so ReuseExchange cannot
+    // dedup them — the eager localCheckpoint must make both consumers scans
+    // of the same materialized RDD. Exactly ONE typed flatMap lineage may
+    // remain: the posting-list pair emitter; the SHINGLE flatMap re-running
+    // per consumer would show as a second (and third) one.
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"expected checkpointed shingle scans in:\n$p")
+    val lineages = "DeserializeToObject".r.findAllIn(p).length
+    assert(lineages == 1,
+      s"expected exactly the pair-emitter lineage, found $lineages in:\n$p")
+  }
+
   test("simhash: identical docs get identical sketches; near-dups low hamming") {
     val sh = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sh(0L) == sh(1L))
