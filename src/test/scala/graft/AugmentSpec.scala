@@ -10,9 +10,17 @@ class AugmentSpec extends SparkSpecBase {
   import spark.implicits._
 
   private lazy val turns = Transcripts.turns(spark, 40)
+  private var mentionsCached = false
   private lazy val mentions = {
     val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
-    Detect.run(turns, tagger).toDF().cache()
+    val m = Detect.run(turns, tagger).toDF().cache()
+    mentionsCached = true
+    m
+  }
+
+  override def afterAll(): Unit = {
+    if (mentionsCached) mentions.unpersist() // shared session — release blocks
+    super.afterAll()
   }
 
   test("label collection groups surfaces by (label, length) (label_collections.py:63-95)") {

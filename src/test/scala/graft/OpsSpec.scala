@@ -34,16 +34,21 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.toSet == Set((0L, 2L)))
   }
 
-  test("hot shingle above the df cap creates no pairs and no posting list") {
-    // 6 docs all sharing one mega-frequent shingle ("common words here"),
-    // plus a genuine near-dup pair; with maxShingleDf = 4 the hot shingle
-    // must be df-prefiltered BEFORE collect_list, so it contributes nothing
+  test("hot shingle above the df cap creates no pairs; rare near-dups survive it") {
+    // 6 docs sharing FOUR hot shingles (df = 6 > cap): without the cap every
+    // hot pair scores jaccard 4/6 ≈ 0.67 ≥ 0.3, so the exact-equality assert
+    // below FAILS if the upper df bound is ever dropped — the cap, not the
+    // threshold, is what excludes them. The rare pair (10, 11) (shared-
+    // shingle df = 2, jaccard 3/5 = 0.6) must survive: an over-aggressive
+    // prefilter that also kills real pairs fails the same assert.
     import spark.implicits._
-    val hot = (0L to 5L).map(i => (i, s"common words here unique$i tail$i end$i"))
-    val hotDocs = hot.toDF("doc_id", "text")
-    val pairs = Dedup.ngramJaccardPairs(hotDocs, k = 3, threshold = 0.3,
+    val hot = (0L to 5L).map(i => (i, s"c1 c2 c3 c4 c5 c6 unique$i"))
+    val near = Seq((10L, "x1 x2 x3 x4 x5 x6"), (11L, "x1 x2 x3 x4 x5 y"))
+    val docs2 = (hot ++ near).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs2, k = 3, threshold = 0.3,
       maxShingleDf = 4)
-    assert(pairs.count() == 0)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((10L, 11L, 0.6)), s"got: ${got.toSeq}")
     // and the pre-filter is in the plan: the aggregation that builds the
     // posting list sits above a left-semi join on the shingle key
     val p = pairs.queryExecution.optimizedPlan.toString
@@ -166,11 +171,13 @@ class DedupEdgeSpec extends SparkSpecBase {
     val docs = Seq((1L, null: String), (2L, ""), (3L, "  "),
       (4L, "one two three four five"), (5L, "one two three four five six"))
       .toDF("doc_id", "text")
-    // typed paths must tolerate the null row (column siblings null-propagate)
+    // typed paths must tolerate the null row AND still find the planted
+    // near-dup (jaccard(4,5) = 3/4) — a positive control, so an over-broad
+    // null filter that drops everything cannot pass vacuously
     assert(Dedup.ngramJaccardPairs(docs, k = 3, threshold = 0.5).collect()
-      .forall(r => r.getLong(0) >= 4L))
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((4L, 5L)))
     assert(Dedup.minhash60Pairs(docs, k = 3, threshold = 0.3).collect()
-      .forall(r => r.getLong(0) >= 4L))
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((4L, 5L)))
     assert(Dedup.simhash(docs).collect().map(_.getLong(0)).sorted.toSeq
       == Seq(2L, 3L, 4L, 5L)) // null dropped; blanks still sketch (to 0)
     // blanks all sketch to 0 — they must NOT flood the pair output
@@ -326,13 +333,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(topk.sortBy(_._2).map(_._1).toSeq == truth.toSeq)
   }
 
-  test("LSH top-k: the query's own bucket contains itself and scores sane") {
+  test("LSH top-k: cosines sane and rank-ordered descending per query") {
     val vs = (0 until 200).map(i => (i.toLong, vec(i)))
     val emb = vs.toDF("vec_id", "embedding")
     val res = Similarity.lshTopK(emb.filter($"vec_id" < 3), emb, 3, planes = 3)
-    val rows = res.collect()
+    val rows = res.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
     assert(rows.nonEmpty)
-    assert(rows.forall(_.getInt(2) <= 3))
+    assert(rows.forall { case (q, n, rank, cos) =>
+      rank >= 1 && rank <= 3 && n != q && cos >= -1.0001 && cos <= 1.0001
+    }, rows.toSeq.toString)
+    // within each query, rank order == cosine descending (a sign-flipped
+    // bucket or broken rerank would surface as an inversion here)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $q cosines not descending by rank: ${rs.toSeq}")
+    }
   }
 
   test("IVF top-k: probed-cell recall overlaps brute force, ranks bounded") {
@@ -474,12 +491,15 @@ class TextAnalysisSpec extends SparkSpecBase {
     assert(fps(0) == fps(1))
   }
 
-  test("rolling min-hash fingerprint stable and shift-sensitive") {
-    val df = Seq((0L, "a b c d e f g"), (1L, "a b c d e f g"), (2L, "b c d e f g h"))
+  test("rolling min-hash fingerprint: stable on identical, distinct on disjoint content") {
+    val df = Seq((0L, "a b c d e f g"), (1L, "a b c d e f g"), (2L, "t u v w x y z"))
       .toDF("doc_id", "text")
     val fp = df.select($"doc_id", TextAnalysis.rollingMinHash($"text").as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp(0L) == fp(1L))
+    // disjoint gram sets ⇒ distinct min-hashes (collision odds 2^-60): a
+    // regression to a constant fingerprint fails here
+    assert(fp(2L) != fp(0L), s"fingerprint collapsed to a constant: $fp")
   }
 }
 

@@ -13,10 +13,19 @@ import graft.synth.Transcripts
 class PipelineSpec extends SparkSpecBase {
   private val N = 120L // conversations (includes hot conv 0 and 97)
 
+  private var cachedResult: Option[Pipeline.Result] = None
   lazy val result: Pipeline.Result = {
     val r = Pipeline.run(spark, N)
     r.mentions.cache(); r.triples.cache()
+    cachedResult = Some(r)
     r
+  }
+
+  override def afterAll(): Unit = {
+    // the session is shared across suites — release this suite's cached
+    // blocks so later memory-hungry suites aren't eating into storage memory
+    cachedResult.foreach { r => r.mentions.unpersist(); r.triples.unpersist() }
+    super.afterAll()
   }
 
   test("mention P/R vs gold ≥ 0.95 (target: = 1.0)") {

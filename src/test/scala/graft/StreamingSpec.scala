@@ -27,10 +27,12 @@ class StreamingSpec extends SparkSpecBase {
     val q = StreamingDetect.mentions(src.toDS(), tagger)
       .writeStream.format("memory").queryName("m_out")
       .outputMode("append").start()
-    q.processAllAvailable()
-    // incremental: a second micro-batch arrives after the first completed
-    src.addData(mkTurn("c2", 0, "Grace Obi flew to Lisbon", 2))
-    q.processAllAvailable(); q.stop()
+    try {
+      q.processAllAvailable()
+      // incremental: a second micro-batch arrives after the first completed
+      src.addData(mkTurn("c2", 0, "Grace Obi flew to Lisbon", 2))
+      q.processAllAvailable()
+    } finally q.stop() // a leaked query would poison later suites' job counts
     val rows = spark.sql("SELECT label, surface FROM m_out ORDER BY label, surface")
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(rows.toSeq == Seq(("LOC", "Lisbon"), ("ORG", "Acme Corp"),
@@ -48,15 +50,17 @@ class StreamingSpec extends SparkSpecBase {
     // two windows of data, then events far enough ahead to advance the
     // watermark past them (the watermark advances at batch BOUNDARIES, so a
     // third batch is needed for the closing event to take effect)
-    src.addData(
-      mkTurn("c1", 0, "Alice Varga met Bob Castillo", 0),   // win 10:00
-      mkTurn("c1", 1, "Berlin office of Acme Corp", 2),     // win 10:00
-      mkTurn("c2", 0, "Hiro Tanaka visited Osaka", 7))      // win 10:05
-    q.processAllAvailable()
-    src.addData(mkTurn("c3", 0, "advancing the watermark", 59))
-    q.processAllAvailable()
-    src.addData(mkTurn("c3", 1, "and flushing closed windows", 59))
-    q.processAllAvailable(); q.stop()
+    try {
+      src.addData(
+        mkTurn("c1", 0, "Alice Varga met Bob Castillo", 0),   // win 10:00
+        mkTurn("c1", 1, "Berlin office of Acme Corp", 2),     // win 10:00
+        mkTurn("c2", 0, "Hiro Tanaka visited Osaka", 7))      // win 10:05
+      q.processAllAvailable()
+      src.addData(mkTurn("c3", 0, "advancing the watermark", 59))
+      q.processAllAvailable()
+      src.addData(mkTurn("c3", 1, "and flushing closed windows", 59))
+      q.processAllAvailable()
+    } finally q.stop()
     val rows = spark.sql(
       "SELECT window_start, label, n_mentions FROM w_out ORDER BY window_start, label")
       .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
@@ -85,10 +89,12 @@ class StreamingTriplesSpec extends SparkSpecBase {
       cm("c1", 1, 0, "PER", "PER01"))
     val q = StreamingTriples.assemble(src.toDS())
       .writeStream.format("memory").queryName("t_out").outputMode("append").start()
-    q.processAllAvailable()
-    // batch 2: turn 2 with PER — cross-turn vs turn 1's PER, carried in state
-    src.addData(cm("c1", 2, 0, "PER", "PER02"))
-    q.processAllAvailable(); q.stop()
+    try {
+      q.processAllAvailable()
+      // batch 2: turn 2 with PER — cross-turn vs turn 1's PER, carried in state
+      src.addData(cm("c1", 2, 0, "PER", "PER02"))
+      q.processAllAvailable()
+    } finally q.stop()
     val got = spark.sql("SELECT subj, pred, obj, turn_idx FROM t_out")
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
     assert(got == Set(
@@ -108,24 +114,26 @@ class StreamingTriplesSpec extends SparkSpecBase {
     val q = StreamingTriples.assembleWithEviction(src.toDS(),
         watermark = "10 minutes", idleGap = "5 minutes")
       .writeStream.format("memory").queryName("ev_out").outputMode("append").start()
-    // batch 1: conv A turn 0 (PER00) at 10:00
-    src.addData(tcm("A", 0, 0, "PER00", 0))
-    q.processAllAvailable()
-    // batch 2: unrelated conv B far ahead (minute 120) — advances the
-    // watermark to ~11:50, far past A's 10:00 + 5min idle gap
-    src.addData(tcm("B", 0, 0, "PER90", 120))
-    q.processAllAvailable()
-    // batch 3: another B event so the timer actually fires in a batch whose
-    // watermark already covers A's timeout
-    src.addData(tcm("B", 1, 0, "PER91", 121))
-    q.processAllAvailable()
-    // batch 4a: LATE turn for A (10:01, below watermark) → dropped entirely
-    src.addData(tcm("A", 1, 0, "PER01", 1))
-    q.processAllAvailable()
-    // batch 4b: fresh A turn ABOVE the watermark: state was evicted, so no
-    // follows_up against PER00 even though turn_idx is adjacent
-    src.addData(tcm("A", 1, 0, "PER01", 125))
-    q.processAllAvailable(); q.stop()
+    try {
+      // batch 1: conv A turn 0 (PER00) at 10:00
+      src.addData(tcm("A", 0, 0, "PER00", 0))
+      q.processAllAvailable()
+      // batch 2: unrelated conv B far ahead (minute 120) — advances the
+      // watermark to ~11:50, far past A's 10:00 + 5min idle gap
+      src.addData(tcm("B", 0, 0, "PER90", 120))
+      q.processAllAvailable()
+      // batch 3: another B event so the timer actually fires in a batch whose
+      // watermark already covers A's timeout
+      src.addData(tcm("B", 1, 0, "PER91", 121))
+      q.processAllAvailable()
+      // batch 4a: LATE turn for A (10:01, below watermark) → dropped entirely
+      src.addData(tcm("A", 1, 0, "PER01", 1))
+      q.processAllAvailable()
+      // batch 4b: fresh A turn ABOVE the watermark: state was evicted, so no
+      // follows_up against PER00 even though turn_idx is adjacent
+      src.addData(tcm("A", 1, 0, "PER01", 125))
+      q.processAllAvailable()
+    } finally q.stop()
     val got = spark.sql("SELECT subj, pred, obj, conv_id FROM ev_out")
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
     // B's own follows_up proves the handler still works; A must have NONE
@@ -154,8 +162,8 @@ class StreamingTriplesSpec extends SparkSpecBase {
       .writeStream.format("memory").queryName("ooo_out").outputMode("append").start()
     // whole turns arrive SHUFFLED across micro-batches: 2, 0, 3, 1 — every
     // arrival stays within the watermark window
-    Seq(2, 0, 3, 1).foreach { t => src.addData(turns(t)); q.processAllAvailable() }
-    q.stop()
+    try Seq(2, 0, 3, 1).foreach { t => src.addData(turns(t)); q.processAllAvailable() }
+    finally q.stop()
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))
     val streamed = spark.sql("SELECT subj, pred, obj, turn_idx FROM ooo_out")
@@ -184,8 +192,10 @@ class StreamingTriplesSpec extends SparkSpecBase {
     while (cut < ordered.size && ordered(cut - 1).conv_id == ordered(cut).conv_id &&
            ordered(cut - 1).turn_idx == ordered(cut).turn_idx) cut += 1
     val (first, second) = ordered.splitAt(cut)
-    src.addData(first); q.processAllAvailable()
-    src.addData(second); q.processAllAvailable(); q.stop()
+    try {
+      src.addData(first); q.processAllAvailable()
+      src.addData(second); q.processAllAvailable()
+    } finally q.stop()
     def key(r: org.apache.spark.sql.Row) =
       (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getInt(4))
     val streamed = spark.sql("SELECT subj, pred, obj, conv_id, turn_idx FROM t_out2")
