@@ -29,10 +29,52 @@ final class Trie(useSingle: Boolean = true) extends Serializable {
       * dictionary-owned string instead of allocating a substring per hit
       */
     var word: String = null
-    def child(c: Char): Node = if (children == null) null else children.getOrElse(c, null)
+    // frozen read view (parallel sorted arrays, built by the rootIndex
+    // freeze): a linear char scan over a tiny fanout beats HashMap.getOrElse
+    // (no Char boxing, no hash) on the detect walk. Transient — executors
+    // rebuild lazily after broadcast deserialization; insert() invalidates.
+    @transient private[Trie] var ck: Array[Char] = null
+    @transient private[Trie] var cn: Array[Node] = null
+    def child(c: Char): Node = {
+      val k = ck
+      if (k != null) {
+        var i = 0
+        while (i < k.length) { if (k(i) == c) return cn(i); i += 1 }
+        null
+      } else if (children == null) null
+      else children.getOrElse(c, null)
+    }
   }
 
   val root = new Node
+
+  /** First-level child index: a direct char-indexed array replacing the
+    * root HashMap lookup on the detect hot path — the walk probes the root
+    * once per TEXT POSITION and the dominant case is a miss, so one array
+    * load (no Char boxing, no hash) beats `HashMap.getOrElse` there. Built
+    * lazily once per JVM (also after broadcast deserialization); 64k refs
+    * ≈ 512 KB per executor. Pure view of `root.children` — build the trie
+    * fully before first use (the detect stage always does: the trie is
+    * constructed on the driver, then broadcast).
+    */
+  @transient private lazy val rootIndex: Array[Node] = {
+    // freeze every node's child map into parallel sorted arrays while here —
+    // the lazy val's one-time init (synchronized, safely published) makes
+    // the whole-trie freeze thread-safe for the task threads that share the
+    // broadcast instance
+    def freeze(n: Node): Unit = if (n.children != null) {
+      val ks = n.children.keysIterator.toArray.sorted
+      n.ck = ks
+      n.cn = ks.map(n.children)
+      n.cn.foreach(freeze)
+    }
+    freeze(root)
+    val arr = new Array[Node](Char.MaxValue + 1)
+    if (root.children != null) root.children.foreach { case (c, n) => arr(c) = n }
+    arr
+  }
+  def rootChild(c: Char): Node = rootIndex(c)
+
   var maxDepth: Int = 0
   /** min match index: 0 keeps single-char words, 1 drops them (lexicon_tree.py:26-29). */
   val minLen: Int = if (useSingle) 0 else 1
@@ -46,6 +88,7 @@ final class Trie(useSingle: Boolean = true) extends Serializable {
     var k = 0
     while (k < word.length) {
       if (ptr.children == null) ptr.children = mutable.HashMap.empty
+      ptr.ck = null; ptr.cn = null // invalidate any frozen view on this path
       ptr = ptr.children.getOrElseUpdate(word.charAt(k), new Node)
       deep += 1
       k += 1

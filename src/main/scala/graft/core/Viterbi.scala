@@ -23,7 +23,6 @@ object Viterbi {
     val next: Array[Float] = new Array(C)
     // per-distinct-predecessor-row maxima for the sparse decode (R ≤ C)
     val rowBest: Array[Float] = new Array(C)
-    val rowBestP: Array[Int] = new Array(C)
     var path: Array[Int] = new Array(cap)
     def ensure(l: Int): Unit = if (l > cap) {
       cap = math.max(l, cap * 2)
@@ -197,18 +196,23 @@ object Viterbi {
     val rowPred = sp.rowPred
     val R = sp.nRows
     val rowBest = s.rowBest
-    val rowBestP = s.rowBestP
     var maxScore = s.score
     var next = s.next
     var c = 0
     while (c < C) { // t = 0: dense START init, same values as decodeScratch
       maxScore(c) = sp.startScore(c) + em(c)
-      bps(c) = C
       c += 1
     }
+    // back-pointers at stride R, not C: every tag in a predecessor row
+    // shares one argmax, so only R values exist per position — backtrack
+    // reads bps(t*R + rowOf(cur)). Cuts the dominant per-position memory
+    // write from C ints to R (13 → 4 for BMES). Row 0 (t = 0) is never
+    // written or read: the backtrack loop stops at t = 1 (position 0's
+    // predecessor is START).
     var t = 1
     while (t < L) {
       val base = t * C
+      val bbase = t * R
       var r = 0
       while (r < R) { // one max per DISTINCT predecessor row, not per tag
         var k = rowStart(r)
@@ -222,14 +226,12 @@ object Viterbi {
           k += 1
         }
         rowBest(r) = best
-        rowBestP(r) = bestP
+        bps(bbase + r) = bestP
         r += 1
       }
       c = 0
       while (c < C) {
-        val rc = rowOf(c)
-        next(c) = rowBest(rc) + em(base + c)
-        bps(base + c) = rowBestP(rc)
+        next(c) = rowBest(rowOf(c)) + em(base + c)
         c += 1
       }
       val tmp = maxScore; maxScore = next; next = tmp
@@ -246,11 +248,12 @@ object Viterbi {
     }
     var cur = bestTag
     t = L - 1
-    while (t >= 0) {
+    while (t >= 1) {
       s.path(t) = cur
-      cur = bps(t * C + cur)
+      cur = bps(t * R + rowOf(cur))
       t -= 1
     }
+    s.path(0) = cur
   }
 
   /** Score of a given path under (emissions, transitions) incl. START/STOP —

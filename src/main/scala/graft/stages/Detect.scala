@@ -67,6 +67,20 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
           s"tagSet lacks a full B/I|M/E/S row for label '$lbl': $tagSet")
         lbl -> ((b, im, e, sg))
       }.toMap
+  // word → its label's (B, I|M, E, S) tag rows as one flat int array: the
+  // vote hot path makes ONE java.util.HashMap probe per trie match instead
+  // of a Scala-Map dict get PLUS a labelIdx get. Built eagerly so a dict
+  // label missing from the tag set fails at CONSTRUCTION (the r4 validation
+  // contract), not at first match.
+  private val voteRows: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]](dict.size * 2)
+    dict.foreach { case (w, label) =>
+      val t = labelIdx.getOrElse(label, throw new IllegalArgumentException(
+        s"dictionary label '$label' (word '$w') has no B/I|M/E/S row in tagSet $tagSet"))
+      m.put(w, Array(t._1, t._2, t._3, t._4))
+    }
+    m
+  }
   // per-tag-index decompositions for the span fast path: head char and type
   // string, so span extraction never materializes or parses tag strings
   private val headOf: Array[Char] =
@@ -155,38 +169,40 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
     val s = scratch.get()
     s.ensure(n)
     val em = s.emissions
-    java.util.Arrays.fill(em, 0, n * C, 0f)
-    var i = 0
-    while (i < n) { em(i * C + oIdx) = 0.1f; i += 1 }
-    // inline trie walk from every position; every dictionary match votes its
+    // The O(n·C) emission fill is DEFERRED to the first successful
+    // dictionary vote (`vote` below fills when `needFill`): entity-free
+    // turns — a large share of any real transcript corpus — previously paid
+    // the full fill only to take the zero-vote fast path; now they touch no
+    // emission memory at all (DetectMicro-measured, span checksum pinned).
+    //
+    // Inline trie walk from every position; every dictionary match votes its
     // BMES labels (single-char demotion per lexicon_tree.py:94-95: a length-1
-    // match votes only when it is the sole match at its position)
+    // match votes only when it is the sole match at its position). The
+    // first-level probe uses the trie's char-indexed root array — one array
+    // load on the dominant no-match position instead of a boxed HashMap get.
     var voteMass = 0L // total +1f emission increments — bounds Σ_t max_c em
     // (Long: an Int could wrap on a ~7M-char match-saturated turn and
     // silently satisfy the sparse guard with its precondition violated)
-    i = 0
+    var i = 0
     while (i < n) {
-      var ptr = trie.root
-      var k = 0
-      var continue = true
+      var ptr = trie.rootChild(text.charAt(i))
+      var k = 0 // depth: ptr is the node after consuming text[i .. i+k]
       var nMatches = 0
       var soloSingle: String = null
-      while (continue && k < n - i) {
-        if (k > trie.maxDepth) continue = false
-        else {
-          ptr = ptr.child(text.charAt(i + k))
-          if (ptr == null) continue = false
-          else {
-            if (k >= trie.minLen && ptr.isWord) {
-              nMatches += 1
-              if (k == 0) soloSingle = ptr.word // defer: demoted unless solo
-              else voteMass += vote(em, i, ptr.word)
-            }
-            k += 1
-          }
+      while (ptr != null) {
+        if (k >= trie.minLen && ptr.isWord) {
+          nMatches += 1
+          if (k == 0) soloSingle = ptr.word // defer: demoted unless solo
+          else voteMass += vote(em, i, ptr.word, n, voteMass == 0)
         }
+        k += 1
+        // same cut order as the reference walk: depth limit checked before
+        // the child lookup at depth k
+        ptr = if (k < n - i && k <= trie.maxDepth) ptr.child(text.charAt(i + k))
+              else null
       }
-      if (soloSingle != null && nMatches == 1) voteMass += vote(em, i, soloSingle)
+      if (soloSingle != null && nMatches == 1)
+        voteMass += vote(em, i, soloSingle, n, voteMass == 0)
       i += 1
     }
     if (voteMass == 0) return -n
@@ -201,18 +217,27 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
   }
 
   /** Cast the word's BMES votes; @return the number of +1f increments cast
-    * (0 iff the word's label is not in the dictionary).
+    * (0 iff the word's label is not in the dictionary). `needFill` (caller
+    * passes `voteMass == 0`) triggers the deferred O(n·C) emission fill
+    * exactly once, immediately before the first successful vote's writes —
+    * a dict-miss vote leaves the emissions untouched so the zero-vote fast
+    * path stays fill-free.
     */
-  private def vote(em: Array[Float], start: Int, word: String): Int = {
-    val label = dict.getOrElse(word, null)
-    if (label == null) return 0
-    val (b, im, e, sg) = labelIdx(label)
+  private def vote(em: Array[Float], start: Int, word: String,
+                   n: Int, needFill: Boolean): Int = {
+    val rows = voteRows.get(word)
+    if (rows == null) return 0
+    if (needFill) {
+      java.util.Arrays.fill(em, 0, n * C, 0f)
+      var p = 0
+      while (p < n) { em(p * C + oIdx) = 0.1f; p += 1 }
+    }
     val len = word.length
-    if (len == 1) { em(start * C + sg) += 1f; return 1 }
-    em(start * C + b) += 1f
+    if (len == 1) { em(start * C + rows(3)) += 1f; return 1 }
+    em(start * C + rows(0)) += 1f
     var k = 1
-    while (k < len - 1) { em((start + k) * C + im) += 1f; k += 1 }
-    em((start + len - 1) * C + e) += 1f
+    while (k < len - 1) { em((start + k) * C + rows(1)) += 1f; k += 1 }
+    em((start + len - 1) * C + rows(2)) += 1f
     len
   }
 }
