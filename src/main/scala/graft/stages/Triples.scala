@@ -98,32 +98,50 @@ object Triples {
       .filter(col("canonical_id").isNotNull)
       .select(col("conv_id").as("_cid"), col("turn_idx"),
         struct(col("start"), col("label"), col("canonical_id")).as("_m"))
-    emit(chunkedWithPrev(packed, chunkTurns))(canon.sparkSession)
+    emit(chunkedWithContext(packed, chunkTurns, 1,
+      sort_array(collect_list(col("_m")))))(canon.sparkSession)
   }
 
-  /** The chunked-window previous-turn attachment (class-doc shape), shared
+  /** The chunked-window turn-context attachment (class-doc shape), shared
     * by `run` and `runEncoded` so the boundary-stitching rules have ONE
-    * implementation. Input columns: `_cid` (conversation key — string or
-    * codec long), `turn_idx`, `_m` (per-mention payload — struct or packed
-    * long). Output: (_cid, turn_idx, ms, prev_idx, prev_ms) with context
-    * rows consumed.
+    * implementation, generalized to rule depth `k` (SURVEY §7.4 contract:
+    * chunk size m ≫ overlap k). Input columns: `_cid` (conversation key —
+    * string or codec long), `turn_idx`, `_m` (per-turn-or-mention payload —
+    * struct, packed long, or pre-packed long array). Output:
+    * (_cid, turn_idx, ms, prev_idx_1, prev_ms_1, …, prev_idx_k, prev_ms_k)
+    * with context rows consumed. For k = 1 the trailing pair is aliased
+    * (prev_idx, prev_ms) — the shape `emit`/`emitPacked` read.
     *
     * One pass over the mention table: every row keeps its own chunk; the
-    * last turn of a chunk is ALSO emitted into the next chunk as context
-    * (explode of a 1- or 2-element array — stays in whole-stage codegen).
-    * ONE exchange serves both downstream operators: hash(_cid, _chunk)
-    * satisfies the aggregation's ClusteredDistribution on
-    * (_cid, _chunk, turn_idx) AND the chunk window's. Context rows form
-    * their own (_cid, chunk+1, turn_idx) group, so _ctx is constant per
+    * last k turns of a chunk are ALSO emitted into the next chunk as
+    * context rows (explode of a 1- or 2-element array — stays in
+    * whole-stage codegen). ONE exchange serves both downstream operators:
+    * hash(_cid, _chunk) satisfies the aggregation's ClusteredDistribution
+    * on (_cid, _chunk, turn_idx) AND the chunk window's. Context rows form
+    * their own (_cid, chunk+1, turn_idx) groups, so _ctx is constant per
     * group and max() just carries it through; a context row's own triples
     * are emitted by its real copy in the previous chunk — it exists only
-    * to feed the lag.
+    * to feed the lags.
+    *
+    * Depth contract (why lags 1..k suffice): a real row for turn t in chunk
+    * c has every EXISTING turn in [t−k, t) present in its window partition —
+    * turns ≥ c·m as real rows, turns in [c·m−k, c·m) as context copies (the
+    * overlap predicate below duplicates exactly those) — and at most k−1
+    * turns lie strictly between t−d and t for d ≤ k, so turn t−d (when it
+    * exists) sits at SOME lag position ≤ k. Sparse turn indices mean lag
+    * position ≠ turn distance: a depth-d rule must check
+    * `prev_idx_i == turn_idx − d`, exactly like the k=1 consumers do
+    * (equivalence vs the unchunked window is tested for k=2 in
+    * PipelineSpec).
     */
-  private def chunkedWithPrev(packed: DataFrame, chunkTurns: Int): DataFrame = {
+  private[graft] def chunkedWithContext(packed: DataFrame, chunkTurns: Int,
+                                        k: Int, msAgg: Column): DataFrame = {
+    require(k >= 1 && chunkTurns > k,
+      s"chunk size must exceed overlap depth: chunkTurns=$chunkTurns k=$k")
     val chunk = floor(col("turn_idx") / chunkTurns).cast("int")
-    val boundary = pmod(col("turn_idx"), lit(chunkTurns)) === chunkTurns - 1
+    val inOverlap = pmod(col("turn_idx"), lit(chunkTurns)) >= chunkTurns - k
     val dup = packed
-      .withColumn("_d", explode(when(boundary,
+      .withColumn("_d", explode(when(inOverlap,
           array(struct(chunk.as("c"), lit(false).as("ctx")),
                 struct((chunk + 1).as("c"), lit(true).as("ctx"))))
         .otherwise(array(struct(chunk.as("c"), lit(false).as("ctx"))))))
@@ -132,14 +150,18 @@ object Triples {
     val perTurn = dup
       .repartition(col("_cid"), col("_chunk"))
       .groupBy(col("_cid"), col("_chunk"), col("turn_idx"))
-      .agg(sort_array(collect_list(col("_m"))).as("ms"), max(col("_ctx")).as("_ctx"))
+      .agg(msAgg.as("ms"), max(col("_ctx")).as("_ctx"))
     val w = Window.partitionBy(col("_cid"), col("_chunk")).orderBy(col("turn_idx"))
-    perTurn
-      .withColumn("prev_idx", lag(col("turn_idx"), 1).over(w))
-      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+    def lagName(p: String, i: Int) = if (k == 1) p else s"${p}_$i"
+    val withLags = (1 to k).foldLeft(perTurn) { (df, i) =>
+      df.withColumn(lagName("prev_idx", i), lag(col("turn_idx"), i).over(w))
+        .withColumn(lagName("prev_ms", i), lag(col("ms"), i).over(w))
+    }
+    withLags
       .filter(!col("_ctx"))
-      .select(col("_cid"), col("turn_idx"), col("ms"),
-        col("prev_idx"), col("prev_ms"))
+      .select(col("_cid") +: col("turn_idx") +: col("ms") +:
+        (1 to k).flatMap(i =>
+          Seq(col(lagName("prev_idx", i)), col(lagName("prev_ms", i)))): _*)
   }
 
   /** Mention-offset ceiling of the packed encoding: 23 bits. A single turn
@@ -202,9 +224,13 @@ object Triples {
     // loud-failure guards: a mention the dictionary can't encode must abort
     // the job (silent drops would corrupt the KG); start offsets are bounded
     // by the packing layout
-    val startChecked = when(col("start") < MaxPackedStart, col("start"))
+    // between(): a NEGATIVE start from a corrupt upstream row would pack into
+    // the long's high bits and silently corrupt sort order + dedup — it must
+    // hit the same loud raise_error as an oversized one (ADVICE r4)
+    val startChecked = when(col("start").between(0, MaxPackedStart - 1), col("start"))
       .otherwise(raise_error(concat(
-        lit(s"Triples.runEncoded: start ≥ $MaxPackedStart in "), col("conv_id"))).cast("int"))
+        lit(s"Triples.runEncoded: start outside [0, $MaxPackedStart) in "),
+        col("conv_id"))).cast("int"))
     val lbChecked = coalesce(try_element_at(labelMap, col("label")),
       raise_error(concat(lit("Triples.runEncoded: label not in dict: "),
         col("label"))).cast("int"))
@@ -219,7 +245,24 @@ object Triples {
           shiftleft(lbChecked.cast("long"), 32) +
           eidChecked.cast("long")).as("_m"))
 
-    val withPrev = chunkedWithPrev(packed, chunkTurns)
+    // Map-side per-turn pre-pack BEFORE the exchange: the shuffle's row
+    // count drops from one row per MENTION to one row per locally-contiguous
+    // turn run (detect emits a turn's mentions consecutively and every
+    // upstream stage is a narrow broadcast join, so runs ≈ turns — measured
+    // in BENCH.md §Pipeline). The post-shuffle groupBy then merges the rare
+    // split-turn fragments with a cheap flatten instead of collecting
+    // per-mention rows; per-turn sort order is restored in `emitPacked`
+    // (Arrays.sort on the packed longs == the generic struct sort, see
+    // TripleDict). Correctness never depends on the clustering: a shuffled
+    // upstream degrades to one-mention runs — today's exchange exactly.
+    val grouped = convCodec match {
+      case Some(_) => prePackRuns(packed.as[(Long, Int, Long)])
+        .toDF("_cid", "turn_idx", "_m")
+      case None => prePackRuns(packed.as[(String, Int, Long)])
+        .toDF("_cid", "turn_idx", "_m")
+    }
+    val withPrev = chunkedWithContext(grouped, chunkTurns, 1,
+      flatten(collect_list(col("_m"))))
     val getConv: org.apache.spark.sql.Row => String = convCodec match {
       case Some(cc) =>
         val dec = cc.decode
@@ -228,6 +271,40 @@ object Triples {
     }
     emitPacked(withPrev, dict, getConv)(spark)
   }
+
+  /** Run-length grouping of consecutive (key, turn) mention rows into one
+    * (key, turn, Array[Long]) row — the map-side pre-pack of the encoded
+    * exchange. Pure narrow streaming pass: one element of lookahead, no
+    * per-partition buffering beyond the current turn's (text-length-bounded)
+    * mention array, so it composes with arbitrarily large partitions.
+    */
+  private def prePackRuns[K](ds: Dataset[(K, Int, Long)])(
+      implicit enc: org.apache.spark.sql.Encoder[(K, Int, Array[Long])])
+      : Dataset[(K, Int, Array[Long])] =
+    ds.mapPartitions { it =>
+      new Iterator[(K, Int, Array[Long])] {
+        private var pending: (K, Int, Long) = _
+        private var hasPending = false
+        def hasNext: Boolean = hasPending || it.hasNext
+        def next(): (K, Int, Array[Long]) = {
+          var cur = if (hasPending) { hasPending = false; pending } else it.next()
+          val cid = cur._1
+          val turn = cur._2
+          var arr = new Array[Long](4)
+          arr(0) = cur._3
+          var n = 1
+          var open = true
+          while (open && it.hasNext) {
+            cur = it.next()
+            if (cur._1 == cid && cur._2 == turn) {
+              if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+              arr(n) = cur._3; n += 1
+            } else { pending = cur; hasPending = true; open = false }
+          }
+          (cid, turn, if (n == arr.length) arr else java.util.Arrays.copyOf(arr, n))
+        }
+      }
+    }
 
   /** Growable long array with linear-scan dedup — per-turn triple counts are
     * tiny, so a scan beats any hash set and allocates nothing per element
@@ -269,6 +346,10 @@ object Triples {
     * compare, pair dedup is a packed (pred, subj, obj) long key, and subj/obj
     * decode is an index into the broadcast entity array (shared string refs,
     * no per-triple allocation beyond the output `Triple` itself).
+    * The per-turn arrays arrive as UNSORTED flatten-concats of the map-side
+    * pre-pack runs; `Arrays.sort` here restores exactly the generic path's
+    * struct sort (rank packing preserves UTF-8 order, and bit 63 is always 0
+    * — start < 2^23 — so the signed long sort is the unsigned one).
     * Equivalence to the generic path is property-tested (PipelineSpec).
     */
   private def emitPacked(withPrev: DataFrame, dict: TripleDict,
@@ -289,10 +370,12 @@ object Triples {
         val convId = getConv(row)
         val turnIdx = row.getInt(1)
         val ms = longArray(row.getSeq[Long](2))
+        java.util.Arrays.sort(ms)
         val prevAdjacent = !row.isNullAt(3) && row.getInt(3) == turnIdx - 1
         val prev =
           if (prevAdjacent && !row.isNullAt(4)) longArray(row.getSeq[Long](4))
           else EmptyLongs
+        java.util.Arrays.sort(prev)
 
         dedup.clear()
         out.clear()

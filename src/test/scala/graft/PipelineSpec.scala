@@ -107,6 +107,17 @@ class PipelineSpec extends SparkSpecBase {
     assert(msgs(e).exists(_.contains("canonical_id not in dict")), s"got: ${msgs(e)}")
   }
 
+  test("encoded path fails LOUDLY on a negative mention start (corrupt upstream row)") {
+    import spark.implicits._
+    // a negative start would otherwise pack into the long's high bits and
+    // silently corrupt sort order + dedup — must hit the raise_error guard
+    val canon = Seq(
+      CanonMention("c1", 0, -1, 3, "PER", "x", "PER00", "PER00")).toDS()
+    val dict = TripleDict(Seq("PER"), Seq("PER00"))
+    val e = intercept[Exception] { Triples.runEncoded(canon, dict).collect() }
+    assert(msgs(e).exists(_.contains("start outside")), s"got: ${msgs(e)}")
+  }
+
   test("property: chunked ≡ window ≡ join on random sparse corpora × random chunk sizes") {
     import spark.implicits._
     val rnd = new scala.util.Random(1337)
@@ -137,6 +148,61 @@ class PipelineSpec extends SparkSpecBase {
         for (l <- labels.toSeq; i <- 0 until 5) yield s"$l$i")
       assert(sorted(Triples.runEncoded(canon, dict, chunkTurns = chunk)) == viaWindow,
         s"trial $trial encoded chunkTurns=$chunk diverged")
+    }
+  }
+
+  test("generalized chunk overlap k=2: boundary context ≡ unchunked window for depth-2 rules") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.{DataFrame, Row}
+    val rnd = new scala.util.Random(77)
+    val labels = Array("PER", "ORG", "LOC")
+    val canon = (0 until 4).flatMap { c =>
+      (0 until 30).flatMap { t =>
+        if (rnd.nextInt(3) == 0) Nil // sparse: gaps exercise idx-vs-lag checks
+        else (0 until 1 + rnd.nextInt(2)).map { m =>
+          val lbl = labels(rnd.nextInt(3))
+          CanonMention(s"conv$c", t, m * 10, m * 10 + 3, lbl, "x", s"$lbl$m", s"$lbl$m")
+        }
+      }
+    }.toDS()
+    val packed = canon.toDF()
+      .select(col("conv_id").as("_cid"), col("turn_idx"),
+        struct(col("start"), col("label"), col("canonical_id")).as("_m"))
+    val agg = sort_array(collect_list(col("_m")))
+
+    def msOf(r: Row, i: Int): Seq[(Int, String, String)] =
+      r.getSeq[Row](i).map(x => (x.getInt(0), x.getString(1), x.getString(2)))
+    // depth-d context (d ∈ 1..2): the (d, prev-turn ms) pairs whose lag's
+    // ACTUAL turn distance is d — the idx check every depth-d rule makes
+    // (lag position ≠ turn distance on sparse turn indices)
+    def ctx(df: DataFrame): Map[(String, Int), Set[(Int, Seq[(Int, String, String)])]] =
+      df.collect().map { r =>
+        val t = r.getInt(1)
+        val pairs = Seq(3, 5).flatMap { c =>
+          if (r.isNullAt(c)) Nil
+          else {
+            val d = t - r.getInt(c)
+            if (d <= 2) Seq((d, msOf(r, c + 1))) else Nil
+          }
+        }.toSet
+        (r.getString(0), t) -> pairs
+      }.toMap
+
+    val perTurn = packed.groupBy(col("_cid"), col("turn_idx")).agg(agg.as("ms"))
+    val w = Window.partitionBy(col("_cid")).orderBy(col("turn_idx"))
+    val unchunked = perTurn
+      .withColumn("i1", lag(col("turn_idx"), 1).over(w))
+      .withColumn("m1", lag(col("ms"), 1).over(w))
+      .withColumn("i2", lag(col("turn_idx"), 2).over(w))
+      .withColumn("m2", lag(col("ms"), 2).over(w))
+      .select(col("_cid"), col("turn_idx"), col("ms"),
+        col("i1"), col("m1"), col("i2"), col("m2"))
+    val expect = ctx(unchunked)
+    assert(expect.exists(_._2.exists(_._1 == 2)), "fixture must exercise depth-2 context")
+    for (chunk <- Seq(3, 4, 7)) {
+      val got = ctx(Triples.chunkedWithContext(packed, chunk, 2, agg))
+      assert(got == expect, s"chunkTurns=$chunk depth-2 context diverged")
     }
   }
 
