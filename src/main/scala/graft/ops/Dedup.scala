@@ -55,6 +55,13 @@ object Dedup {
     * bounded: a shingle shared by f docs contributes f² pair rows — at scale
     * drop shingles with document frequency above a cap, which cannot create
     * high-Jaccard pairs anyway at realistic doc sizes).
+    *
+    * NOTE (laziness contract): merely CONSTRUCTING the returned DataFrame
+    * runs the shingle-extraction jobs eagerly — the shingle relation feeds
+    * multiple differently-shaped exchanges, so it is materialized once via
+    * an eager `localCheckpoint` rather than recomputed per consumer. Build
+    * it only when you intend to execute (same contract as `simhashPairs`
+    * and `minhash60Pairs`).
     */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.8,
                         maxShingleDf: Int = 1000): DataFrame = {
@@ -233,7 +240,9 @@ object Dedup {
     * shape — instead of re-running the flatMap lineage per consumer
     * (checkpoint blocks are reclaimed by the ContextCleaner once the
     * returned plan is GC'd, unlike a cache() the caller could never
-    * unpersist).
+    * unpersist). Consequently merely CONSTRUCTING the returned DataFrame
+    * runs the shingle jobs eagerly — build it only when you intend to
+    * execute (laziness-contract note, ADVICE r4).
     */
   def minhash60Pairs(docs: DataFrame, k: Int = 3, numPerms: Int = 8,
                      rowsPerBand: Int = 2, threshold: Double = 0.5): DataFrame = {

@@ -48,7 +48,12 @@ object TextAnalysis {
     val cjk = size(split(text, "[\\x{4e00}-\\x{9fff}]")) - 1
     val hits = stopwords.toSeq.sortBy(_._1).map { case (l, ws) => (l, stopwordHits(text, ws)) }
     val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = hits.foldLeft(lit("und")) { case (acc, (l, h)) =>
+    // seed the fold with the FIRST candidate (not lit("und")): a "und" seed
+    // makes iteration 1 build the trivially-true `'und' == 'und'` predicate
+    // Catalyst warns about on every run — same argmax-with-first-tie result
+    val (l0, h0) = hits.head
+    val seed = when(h0 === best && h0 > 0, lit(l0)).otherwise(lit("und"))
+    val pick = hits.tail.foldLeft(seed) { case (acc, (l, h)) =>
       when(h === best && h > 0 && acc === lit("und"), lit(l)).otherwise(acc)
     }
     when(cjk > 0, lit("zh")).otherwise(pick)

@@ -22,11 +22,14 @@ object Canon {
     * deduped edge list is collected and solved locally in one pass (same-as
     * evidence graphs are typically dictionary-sized, and the star loop's
     * ~4 rounds × several jobs are pure scheduler overhead there); above it
-    * the distributed alternating-star loop runs. 4M edges ≈ a few hundred
-    * MB of driver heap — the same budget class as the gated broadcast in
-    * `run`.
+    * the distributed alternating-star loop runs. 512k edges ≈ low tens of
+    * MB of collected Rows plus the union-find's string maps — safely inside
+    * any sane driver heap (ADVICE r4: the previous 4M default was multiple
+    * GB of transient driver allocation once Row/tuple/HashMap overheads are
+    * counted — a silent OOM risk; the scheduler-overhead win of the fast
+    * path is already fully captured at this size).
     */
-  val DefaultMaxLocalEdges: Long = 4L << 20
+  val DefaultMaxLocalEdges: Long = 512L << 10
 
   /** edges: DataFrame(src string, dst string), undirected semantics.
     * @return DataFrame(id string, canonical_id string) covering every vertex
