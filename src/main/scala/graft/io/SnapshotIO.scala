@@ -41,15 +41,84 @@ object SnapshotIO {
   /** Object-store commit: immutable uuid data dir + manifest-pointer PUT. */
   case object ManifestPointer extends CommitProtocol
 
-  /** Orphans (crashed writers' `_tmp_`/uncommitted `data-*` dirs) younger
-    * than this are NOT swept: they may belong to a live concurrent writer
-    * (the one-writer-per-snapshot contract is documented, not enforced —
-    * sweeping a peer's in-flight dir would fail that peer spuriously).
+  /** Orphans (crashed writers' `_tmp_`/uncommitted `data-*` dirs) and
+    * writer locks younger than this are NOT swept/stolen: they may belong
+    * to a live concurrent writer (a held lock is heartbeat-touched at
+    * TTL/4, so only a DEAD holder's lock ever ages past it).
     */
   val OrphanTtlMs: Long = 60L * 60 * 1000
 
   def snapshotDir(base: String, stage: String, inputHash: String): Path =
     Paths.get(base, stage, s"snapshot=$inputHash")
+
+  /** The writer-lock file for a snapshot: a sibling of the snapshot dir
+    * (never inside it — the AtomicRename commit replaces the dir wholesale).
+    */
+  def lockPath(dir: Path): Path =
+    dir.getParent.resolve(s"_lock_${dir.getFileName}")
+
+  /** Run `body` holding the exclusive per-snapshot writer lock — the
+    * ENFORCED form of the one-writer-per-(base, stage, inputHash) contract
+    * (previously documented only; ADVICE r4 + VERDICT r4 item 5).
+    *
+    * Acquisition = creating the lock file with CREATE_NEW, the same
+    * single atomic primitive the ManifestPointer commit relies on (works
+    * on POSIX and on object stores with conditional PUT). While held, a
+    * daemon thread touches the lock every [[OrphanTtlMs]]/4, so a lock
+    * older than one TTL can only belong to a DEAD holder (crashed JVM) and
+    * is stolen; a fresh lock means a live peer — the caller blocks,
+    * re-checking for the peer's commit each poll, and returns WITHOUT
+    * running `body` (`onCommitted` result) as soon as the snapshot is
+    * committed. Serializing writers this way is what makes the destructive
+    * AtomicRename steps (deleteRecursively of the whole snapshot dir) safe
+    * against a concurrent ManifestPointer writer's in-flight `data-*`
+    * child: that peer would be holding this lock.
+    */
+  private def withLock[A](lock: Path, onCommitted: => Option[A])(body: => A): A = {
+    Files.createDirectories(lock.getParent)
+    var acquired = false
+    while (!acquired) {
+      try {
+        Files.write(lock,
+          s"""{"holder":"${java.util.UUID.randomUUID()}","acquired_at":"${java.time.Instant.now()}"}"""
+            .getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        acquired = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          onCommitted match {
+            case Some(a) => return a // a peer committed while we waited
+            case None =>
+              val stale =
+                try System.currentTimeMillis() -
+                  Files.getLastModifiedTime(lock).toMillis > OrphanTtlMs
+                catch { case _: java.io.IOException => false } // vanished → retry
+              if (stale) {
+                // dead holder (a live one heartbeats at TTL/4): steal. Two
+                // stealers racing here is safe — deleteIfExists is
+                // idempotent and CREATE_NEW re-arbitrates.
+                try Files.deleteIfExists(lock)
+                catch { case _: java.io.IOException => () }
+              } else Thread.sleep(200)
+          }
+      }
+    }
+    val heartbeat = new Thread(() => {
+      try while (true) {
+        Thread.sleep(OrphanTtlMs / 4)
+        Files.setLastModifiedTime(lock,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      } catch { case _: InterruptedException | _: java.io.IOException => () }
+    }, s"snapshot-lock-heartbeat-${lock.getFileName}")
+    heartbeat.setDaemon(true)
+    heartbeat.start()
+    try body
+    finally {
+      heartbeat.interrupt()
+      try Files.deleteIfExists(lock)
+      catch { case _: java.io.IOException => () } // stale-TTL reclaims it
+    }
+  }
 
   def isCommitted(base: String, stage: String, inputHash: String): Boolean =
     Files.exists(snapshotDir(base, stage, inputHash).resolve("_manifest.json"))
@@ -66,14 +135,15 @@ object SnapshotIO {
     * lineage telemetry, and use the manifest's `rows` field (counted from
     * the snapshot as stored) where exactness matters.
     *
-    * Concurrency contract: one writer per (base, stage, inputHash). Racing
-    * writers are tolerated, not coordinated: each attempt writes to its OWN
-    * uuid-suffixed dir, commit re-checks for a winner immediately before
-    * publishing, and a loser removes only its own uuid dir. Under
-    * [[AtomicRename]] a microscopic window remains between the final
-    * is-committed re-check and the rename (inherent to rename-based
-    * commit); [[ManifestPointer]] closes it completely (create-new manifest
-    * PUT is the single commit point).
+    * Concurrency contract: one writer per (base, stage, inputHash),
+    * ENFORCED by an exclusive create-new lock file with heartbeat +
+    * stale-TTL steal (see [[withLock]]): a second entrant blocks until the
+    * holder commits (then resumes from the committed snapshot) or dies
+    * (then recomputes after stealing the aged lock). The per-attempt
+    * uuid dirs, the pre-destructive is-committed re-checks, and the
+    * loser-removes-only-its-own-dir rules are kept as belt-and-braces for
+    * the one residual hole — a wrongly-stolen lock whose holder is alive
+    * but wedged past the TTL with its heartbeat thread dead.
     */
   def resumeOrCompute(spark: SparkSession, base: String, stage: String,
                       inputHash: String,
@@ -81,12 +151,8 @@ object SnapshotIO {
                       protocol: CommitProtocol = AtomicRename)
                      (compute: => DataFrame): DataFrame = {
     val dir = snapshotDir(base, stage, inputHash)
-    // unconditional: also reclaims data-* orphans from crashes that PRECEDED
-    // a successful commit (only unreferenced, age-gated dirs are touched, so
-    // the committed snapshot and live peers are safe) — without this, every
-    // crash-then-commit cycle would leak one full copy of the stage output
-    sweepOrphans(dir)
-    if (!isCommitted(base, stage, inputHash)) {
+
+    def writeSnapshot(): Unit = {
       val uuid = java.util.UUID.randomUUID().toString.take(8)
       val tmp = protocol match {
         case AtomicRename =>
@@ -204,6 +270,28 @@ object SnapshotIO {
               deleteRecursively(tmp) // lost the publish race
           }
       } finally partCounts.unpersist()
+    }
+
+    if (isCommitted(base, stage, inputHash)) {
+      // resume path (no lock): reclaims aged orphans from crashes that
+      // PRECEDED the successful commit (only unreferenced, TTL-aged dirs
+      // are touched, so the committed snapshot and live peers are safe) —
+      // without this, every crash-then-commit cycle would leak one full
+      // copy of the stage output
+      sweepOrphans(dir)
+    } else withLock(lockPath(dir),
+        // evaluated each poll while blocked on a live holder: the moment
+        // the peer commits, stop waiting — the read below serves its output
+        onCommitted =
+          if (isCommitted(base, stage, inputHash)) Some(()) else None) {
+      // under the EXCLUSIVE writer lock: the sweep and the destructive
+      // AtomicRename steps cannot hit a live peer's in-flight `_tmp_` or
+      // `data-*` dir — a live peer would be holding this lock
+      sweepOrphans(dir)
+      // re-check: a peer may have committed between the outer check and
+      // our acquisition (e.g. we stole a dead writer's lock after a THIRD
+      // writer already recomputed and committed)
+      if (!isCommitted(base, stage, inputHash)) writeSnapshot()
     }
     readSnapshot(spark, dir)
   }

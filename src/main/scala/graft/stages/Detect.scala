@@ -250,11 +250,12 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
   * birnncrf.py:20-28) — order is restored per row because mentions carry
   * their own (conv_id, turn_idx) keys; no global order is assumed.
   *
-  * Per-partition counters (turns_in, mentions_out) feed the metrics table
-  * (north_rule lineage). They are updated inside a TRANSFORMATION, so task
-  * retries and speculative execution can double-count them — exact on a
-  * retry-free run, telemetry otherwise; the snapshot manifest's `rows`
-  * field (counted from the stored output) is the exact figure.
+  * The optional accumulators (turns_in, mentions_out) are LIVE progress
+  * telemetry only: they are updated inside a TRANSFORMATION, so task
+  * retries and speculative execution can double-count them. Lineage of
+  * record comes from counts over committed snapshots — the manifest's
+  * `rows` field and Pipeline's turns_in (counted over the committed input
+  * snapshot) — which retries cannot skew.
   */
 object Detect {
   val BatchSize = 64

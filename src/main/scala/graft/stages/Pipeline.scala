@@ -171,16 +171,19 @@ object Pipeline {
     }
     val turns = turnsDf.as[Turn]
 
-    // detect's per-executor counters land in the stage manifest: `counters`
-    // is by-name and read AFTER the snapshot write, so the accumulators
-    // carry the write action's totals
-    val turnsIn = spark.sparkContext.longAccumulator("detect_turns_in")
-    val mentionsOut = spark.sparkContext.longAccumulator("detect_mentions_out")
+    // retry-safe manifest counters: `turns_in` is COUNTED over the stage's
+    // committed input snapshot (one cheap parquet-count job over data that
+    // already survived its own commit), not accumulator-derived — task
+    // retries / speculative execution can double-count accumulators, and a
+    // manifest is lineage of record, not telemetry (VERDICT r4 item 7).
+    // mentions_out needs no counter at all: it IS the manifest's exact
+    // `rows` field, counted from the stored output. Detect.run's optional
+    // accumulators remain available for LIVE progress telemetry.
     val mentions = SnapshotIO.resumeOrCompute(spark, workDir, "mentions", inputKey,
-      counters = Map("turns_in" -> turnsIn.value, "mentions_out" -> mentionsOut.value),
+      counters = Map("turns_in" -> turnsDf.count()),
       protocol = protocol) {
       val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
-      Detect.run(turns, tagger, Some(turnsIn), Some(mentionsOut)).toDF()
+      Detect.run(turns, tagger).toDF()
     }
 
     val linked = SnapshotIO.resumeOrCompute(spark, workDir, "linked", inputKey,

@@ -381,6 +381,77 @@ class ResumeSpec extends SparkSpecBase {
     assert(Files.exists(live), "deep-fresh orphan must read as a live writer")
     SnapshotIO.deleteRecursively(Paths.get(dir))
   }
+
+  test("writer lock: two racing writers serialize; the loser resumes the winner's commit") {
+    import graft.io.SnapshotIO
+    import java.nio.file.{Files, Paths}
+    import java.util.concurrent.atomic.AtomicInteger
+    // the single-writer contract is now ENFORCED: the second entrant must
+    // block on the lock, never run compute, and NEVER disturb the winner's
+    // committed snapshot (the ADVICE-r4 cross-protocol race: an
+    // AtomicRename writer's deleteRecursively vs a ManifestPointer writer's
+    // in-flight data-* dir — impossible once both hold the same lock)
+    for ((pA, pB) <- Seq(
+        (SnapshotIO.AtomicRename, SnapshotIO.AtomicRename),
+        (SnapshotIO.ManifestPointer, SnapshotIO.AtomicRename),
+        (SnapshotIO.AtomicRename, SnapshotIO.ManifestPointer))) {
+      val dir = Files.createTempDirectory("graft_lock").toString
+      val computes = new AtomicInteger(0)
+      def enter(protocol: SnapshotIO.CommitProtocol, delayMs: Long) =
+        SnapshotIO.resumeOrCompute(spark, dir, "stg", "h0", protocol = protocol) {
+          computes.incrementAndGet()
+          Thread.sleep(delayMs) // hold the lock long enough for B to collide
+          spark.range(100).selectExpr("id", "cast(id as string) as s").toDF()
+        }.selectExpr("sum(id)").head().getLong(0)
+      @volatile var bResult = -1L
+      @volatile var bErr: Throwable = null
+      val a = new Thread(() => enter(pA, 1500L))
+      val b = new Thread(() => {
+        // enter only once A demonstrably holds the lock (or already won) —
+        // a fixed sleep would race the scheduler, not the protocol
+        val lock = SnapshotIO.lockPath(SnapshotIO.snapshotDir(dir, "stg", "h0"))
+        while (!Files.exists(lock) && !SnapshotIO.isCommitted(dir, "stg", "h0"))
+          Thread.sleep(10)
+        try bResult = enter(pB, 0L)
+        catch { case t: Throwable => bErr = t }
+      })
+      a.start(); b.start(); a.join(60000); b.join(60000)
+      assert(bErr == null, s"loser failed spuriously under ($pA,$pB): $bErr")
+      assert(computes.get() == 1,
+        s"exactly one writer must compute under ($pA,$pB), got ${computes.get()}")
+      assert(bResult == 4950L, s"loser must serve the winner's rows under ($pA,$pB)")
+      // the winner's snapshot survived both exits, is committed, readable,
+      // and the lock was released
+      assert(SnapshotIO.isCommitted(dir, "stg", "h0"))
+      val reread = SnapshotIO.resumeOrCompute(spark, dir, "stg", "h0") {
+        fail("post-race resume must not recompute")
+      }
+      assert(reread.count() == 100)
+      assert(!Files.exists(SnapshotIO.lockPath(
+        SnapshotIO.snapshotDir(dir, "stg", "h0"))), "lock must be released")
+      SnapshotIO.deleteRecursively(Paths.get(dir))
+    }
+  }
+
+  test("writer lock: a dead holder's TTL-aged lock is stolen, a recompute proceeds") {
+    import graft.io.SnapshotIO
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val dir = Files.createTempDirectory("graft_stale").toString
+    val lock = SnapshotIO.lockPath(SnapshotIO.snapshotDir(dir, "stg", "h0"))
+    Files.createDirectories(lock.getParent)
+    Files.writeString(lock, """{"holder":"dead-jvm"}""")
+    // a LIVE holder heartbeats at TTL/4, so 2×TTL-old can only mean a crash
+    Files.setLastModifiedTime(lock,
+      FileTime.fromMillis(System.currentTimeMillis() - 2 * SnapshotIO.OrphanTtlMs))
+    val out = SnapshotIO.resumeOrCompute(spark, dir, "stg", "h0") {
+      spark.range(7).toDF()
+    }
+    assert(out.count() == 7, "stale lock must be stolen, not waited on")
+    assert(SnapshotIO.isCommitted(dir, "stg", "h0"))
+    assert(!Files.exists(lock), "stolen lock must be released after commit")
+    SnapshotIO.deleteRecursively(Paths.get(dir))
+  }
 }
 
 class CanonSpec extends SparkSpecBase {

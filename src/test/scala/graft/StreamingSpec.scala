@@ -205,6 +205,58 @@ class StreamingTriplesSpec extends SparkSpecBase {
       .collect().map(key).sorted.toSeq
     assert(streamed == batch)
   }
+
+  test("exactly-once across a query RESTART: checkpointed state resumes, no dupes, no losses") {
+    import java.nio.file.Files
+    // the streaming analogue of ResumeSpec: stop the query mid-corpus,
+    // restart from the checkpoint, and require the total emitted triple
+    // multiset to equal batch — which proves BOTH that the per-conversation
+    // state (last turn's PERs) was restored across the restart (the
+    // follows_up pairs spanning the cut exist) and that no triple was
+    // re-emitted (the checkpoint + file-sink commit log give exactly-once)
+    val base = Files.createTempDirectory("graft_restart")
+    val srcDir = base.resolve("src"); Files.createDirectories(srcDir)
+    val chk = base.resolve("chk"); val outDir = base.resolve("out")
+    val all = for {
+      c <- Seq("A", "B"); t <- 0 until 4
+      m <- cm(s"c$c", t, 0, "PER", s"PER_${c}$t") ::
+           (if (t % 2 == 0) List(cm(s"c$c", t, 10, "ORG", s"ORG_${c}$t")) else Nil)
+    } yield m
+    // cut at a turn boundary: turns 0-1 before the restart, 2-3 after, so
+    // every conversation has a follows_up pair CROSSING the restart
+    val (first, second) = all.partition(_.turn_idx < 2)
+    def writeBatch(rows: Seq[CanonMention]): Unit =
+      spark.createDataset(rows).repartition(1)
+        .write.mode("append").json(srcDir.toString)
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[CanonMention]].schema)
+        .json(srcDir.toString).as[CanonMention]
+      val q = StreamingTriples.assemble(src)
+        .writeStream.format("parquet").option("path", outDir.toString)
+        .option("checkpointLocation", chk.toString)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeBatch(first); runOnce()  // run 1: first half, then STOP
+    writeBatch(second); runOnce() // run 2: restart — state from checkpoint
+    runOnce()                     // run 3: restart with NO new data
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getString(2), r.getString(3), r.getInt(4))
+    // reading via the sink's _spark_metadata commit log: only files whose
+    // batch COMMITTED count — the exactly-once read surface
+    val streamed = spark.read.parquet(outDir.toString)
+      .select("subj", "pred", "obj", "conv_id", "turn_idx")
+      .collect().map(key).sorted.toSeq
+    val batch = graft.stages.Triples.run(spark.createDataset(all)).toDF()
+      .select("subj", "pred", "obj", "conv_id", "turn_idx")
+      .collect().map(key).sorted.toSeq
+    assert(batch.exists(t => t._2 == "follows_up" && t._5 == 2),
+      "fixture must have follows_up pairs crossing the restart cut")
+    assert(streamed == batch,
+      s"restarted stream diverged from batch:\n  stream=$streamed\n  batch=$batch")
+    graft.io.SnapshotIO.deleteRecursively(base)
+  }
 }
 
 class MetricsSpec extends SparkSpecBase {
@@ -225,16 +277,20 @@ class MetricsSpec extends SparkSpecBase {
       SnapshotIO.snapshotDir(dir, "triples",
         "n20_s42").toString).count()
     assert(triplesTotal == actual)
-    // detect's accumulator counters land in the mentions manifest (read
-    // after the write action, so they carry the stage's real totals)
-    val manifest = java.nio.file.Files.readString(
-      SnapshotIO.snapshotDir(dir, "mentions", "n20_s42").resolve("_manifest.json"))
+    // retry-safe manifest counters: every total in the mentions manifest is
+    // a count over COMMITTED snapshot data, so it must equal the dataset
+    // counts exactly (accumulator-derived figures could not promise this
+    // under task retries / speculative execution)
+    val mentionsDir = SnapshotIO.snapshotDir(dir, "mentions", "n20_s42")
+    val manifest = java.nio.file.Files.readString(mentionsDir.resolve("_manifest.json"))
     val turnsIn = """"turns_in":(\d+)""".r.findFirstMatchIn(manifest).map(_.group(1).toLong)
-    val mentionsOut = """"mentions_out":(\d+)""".r.findFirstMatchIn(manifest).map(_.group(1).toLong)
+    val rowsField = """"rows":(\d+)""".r.findFirstMatchIn(manifest).map(_.group(1).toLong)
     val nTurns = spark.read.parquet(
       SnapshotIO.snapshotDir(dir, "transcripts", "n20_s42").toString).count()
+    val nMentions = spark.read.parquet(mentionsDir.toString).count()
     assert(turnsIn.contains(nTurns), s"turns_in=$turnsIn != $nTurns in $manifest")
-    assert(mentionsOut.exists(_ > 0), s"mentions_out missing in $manifest")
+    assert(rowsField.contains(nMentions), s"rows=$rowsField != $nMentions in $manifest")
+    assert(nMentions > 0, "fixture must produce mentions")
     // a distinct `version` forces a fresh snapshot key (staleness contract)
     Pipeline.runWithSnapshots(spark, 20, dir, version = "2").count()
     assert(SnapshotIO.isCommitted(dir, "triples", "n20_s42_v2"))
