@@ -94,11 +94,20 @@ object SnapshotIO {
                   Files.getLastModifiedTime(lock).toMillis > OrphanTtlMs
                 catch { case _: java.io.IOException => false } // vanished → retry
               if (stale) {
-                // dead holder (a live one heartbeats at TTL/4): steal. Two
-                // stealers racing here is safe — deleteIfExists is
-                // idempotent and CREATE_NEW re-arbitrates.
-                try Files.deleteIfExists(lock)
-                catch { case _: java.io.IOException => () }
+                // dead holder (a live one heartbeats at TTL/4): steal by
+                // ATOMIC RENAME, not delete — a plain deleteIfExists would
+                // race a sibling stealer that already deleted-and-recreated
+                // the lock (the delayed delete removes the sibling's FRESH
+                // lock → two holders). Exactly one rename of the stale file
+                // succeeds; the loser's move throws and simply re-loops.
+                // (On an object store, conditional delete-if-etag-matches
+                // plays this role.)
+                val grave = lock.resolveSibling(
+                  s"${lock.getFileName}.stale-${java.util.UUID.randomUUID().toString.take(8)}")
+                try {
+                  Files.move(lock, grave, StandardCopyOption.ATOMIC_MOVE)
+                  Files.deleteIfExists(grave)
+                } catch { case _: java.io.IOException => () } // lost the steal → re-loop
               } else Thread.sleep(200)
           }
       }
@@ -365,6 +374,9 @@ object SnapshotIO {
         } finally ls.close()
       }
     sweep(dir.getParent, _.startsWith(s"_tmp_${dir.getFileName}"))
+    // graves of stolen stale locks (a stealer that crashed between its
+    // rename and delete leaves one ~100-byte file)
+    sweep(dir.getParent, _.startsWith(s"_lock_${dir.getFileName}.stale-"))
     val committedDataDir = manifestDataDir(dir)
     sweep(dir, n => n.startsWith("data-") && !committedDataDir.contains(n))
   }
