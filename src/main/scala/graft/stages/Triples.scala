@@ -206,7 +206,8 @@ object Triples {
     */
   def runEncoded(canon: Dataset[CanonMention], dict: TripleDict,
                  chunkTurns: Int = DefaultChunkTurns,
-                 convCodec: Option[ConvCodec] = None): Dataset[Triple] = {
+                 convCodec: Option[ConvCodec] = None,
+                 prePack: Boolean = false): Dataset[Triple] = {
     require(chunkTurns >= 2, s"chunkTurns must be ≥ 2, got $chunkTurns")
     val spark = canon.sparkSession
     import spark.implicits._
@@ -245,24 +246,34 @@ object Triples {
           shiftleft(lbChecked.cast("long"), 32) +
           eidChecked.cast("long")).as("_m"))
 
-    // Map-side per-turn pre-pack BEFORE the exchange: the shuffle's row
-    // count drops from one row per MENTION to one row per locally-contiguous
-    // turn run (detect emits a turn's mentions consecutively and every
-    // upstream stage is a narrow broadcast join, so runs ≈ turns — measured
-    // in BENCH.md §Pipeline). The post-shuffle groupBy then merges the rare
-    // split-turn fragments with a cheap flatten instead of collecting
-    // per-mention rows; per-turn sort order is restored in `emitPacked`
-    // (Arrays.sort on the packed longs == the generic struct sort, see
-    // TripleDict). Correctness never depends on the clustering: a shuffled
-    // upstream degrades to one-mention runs — today's exchange exactly.
-    val grouped = convCodec match {
-      case Some(_) => prePackRuns(packed.as[(Long, Int, Long)])
-        .toDF("_cid", "turn_idx", "_m")
-      case None => prePackRuns(packed.as[(String, Int, Long)])
-        .toDF("_cid", "turn_idx", "_m")
-    }
-    val withPrev = chunkedWithContext(grouped, chunkTurns, 1,
-      flatten(collect_list(col("_m"))))
+    // prePack=true groups locally-contiguous (key, turn) mention runs into
+    // one Array[Long] row BEFORE the exchange (detect emits a turn's
+    // mentions consecutively, so runs ≈ turns); the post-shuffle groupBy
+    // merges the rare split-turn fragments with a flatten. Measured A/B at
+    // 18.2M turns / 32c (graft.ExchangeAB, BENCH.md §Exchange): −55%
+    // shuffle records (36.4M → 16.4M), −22% shuffle bytes (454 → 356 MB),
+    // but +11% WALL on this single-host tmpfs-shuffle VM — the typed
+    // mapPartitions boundary (codegen break + per-run Array[Long]
+    // allocation) costs more than local shuffle I/O saves. Hence default
+    // OFF here; on a NIC-bound multi-node cluster, where the exchange
+    // crosses the network, the byte/record cut is the relevant currency —
+    // enable it there. Both shapes reach emitPacked as array<long>,
+    // unsorted (emitPacked's Arrays.sort restores the generic struct sort);
+    // output is identical (equivalence-tested in PipelineSpec), and
+    // correctness never depends on the clustering: a shuffled upstream
+    // degrades to one-mention runs — the prePack=false exchange exactly.
+    val grouped =
+      if (!prePack) packed
+      else convCodec match {
+        case Some(_) => prePackRuns(packed.as[(Long, Int, Long)])
+          .toDF("_cid", "turn_idx", "_m")
+        case None => prePackRuns(packed.as[(String, Int, Long)])
+          .toDF("_cid", "turn_idx", "_m")
+      }
+    val msAgg =
+      if (prePack) flatten(collect_list(col("_m")))
+      else collect_list(col("_m"))
+    val withPrev = chunkedWithContext(grouped, chunkTurns, 1, msAgg)
     val getConv: org.apache.spark.sql.Row => String = convCodec match {
       case Some(cc) =>
         val dec = cc.decode

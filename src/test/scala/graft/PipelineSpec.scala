@@ -78,6 +78,11 @@ class PipelineSpec extends SparkSpecBase {
       convCodec = Some(Pipeline.transcriptsConvCodec))) == viaWindow)
     assert(sorted(Triples.runEncoded(canon, Pipeline.transcriptsDict, chunkTurns = 3,
       convCodec = Some(Pipeline.transcriptsConvCodec))) == viaWindow)
+    // prePack=false (the A/B control: round-4 one-row-per-mention exchange)
+    assert(sorted(Triples.runEncoded(canon, Pipeline.transcriptsDict,
+      prePack = false)) == viaWindow)
+    assert(sorted(Triples.runEncoded(canon, Pipeline.transcriptsDict, chunkTurns = 3,
+      convCodec = Some(Pipeline.transcriptsConvCodec), prePack = false)) == viaWindow)
   }
 
   /** All messages down a Spark-nested cause chain (raise_error wraps). */
