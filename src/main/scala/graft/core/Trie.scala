@@ -71,8 +71,10 @@ final class Trie(useSingle: Boolean = true) extends Serializable {
     freeze(root)
     val arr = new Array[Node](Char.MaxValue + 1)
     if (root.children != null) root.children.foreach { case (c, n) => arr(c) = n }
+    rootIndexBuilt = true
     arr
   }
+  @transient private var rootIndexBuilt = false
   def rootChild(c: Char): Node = rootIndex(c)
 
   var maxDepth: Int = 0
@@ -83,6 +85,13 @@ final class Trie(useSingle: Boolean = true) extends Serializable {
   def size: Int = nWords
 
   def insert(word: String): this.type = {
+    // insert() invalidates per-node frozen views along its path, but the
+    // root's char-indexed array (rootIndex) is built ONCE — an insert after
+    // a walk has frozen it would leave a stale root index that silently
+    // misses the new word's first char. Fail loudly instead: build the trie
+    // fully before the first walk (every call site does).
+    if (rootIndexBuilt) throw new IllegalStateException(
+      "Trie.insert after the walk index was frozen — build the trie fully before first use")
     var ptr = root
     var deep = 0
     var k = 0

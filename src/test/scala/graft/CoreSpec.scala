@@ -57,6 +57,13 @@ class TrieSpec extends AnyFunSuite {
     assert(t.getAllMatchedWords("abcab") == Seq("ab", "bc"))
   }
 
+  test("insert after the walk index froze fails loudly (stale root index)") {
+    val t = Trie(Seq("ab"))
+    assert(t.rootChild('a') != null) // freezes the root index
+    val e = intercept[IllegalStateException] { t.insert("xy") }
+    assert(e.getMessage.contains("frozen"))
+  }
+
   test("property: every enumerated match is a dictionary word and prefix at position") {
     val rnd = new Random(42)
     def word = (1 to (1 + rnd.nextInt(4))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
