@@ -7,14 +7,19 @@ import org.apache.spark.sql.SparkSession
 import graft.stages._
 import graft.synth.Transcripts
 
-/** A/B probe for the encoded triple exchange's map-side per-turn pre-pack
-  * (VERDICT r4 item 1): runs the full gen..triplesEnc chain twice —
-  * prePack=false (round-4 shape: one shuffled row per MENTION) vs
-  * prePack=true (one row per locally-contiguous turn run) — and reports
-  * wall plus TOTAL shuffle write bytes/records per leg via a task-metrics
-  * listener. Wall alone can under-report the win on this single-host VM
-  * (shuffle "bytes" never cross a NIC here); the byte/record counts are the
-  * cluster-relevant evidence. Diagnostic only.
+/** A/B/C probe for the encoded triple exchange (VERDICT r4 item 1): runs
+  * the full gen..triplesEnc chain under each exchange shape —
+  *   "mention"  one shuffled row per MENTION + collect_list/window (the
+  *              round-4 shape),
+  *   "prepack"  one row per locally-contiguous turn run (runEncoded
+  *              prePack=true),
+  *   "sorted"   one row per mention consumed by the sortWithinPartitions
+  *              walker, no collect_list/window (runEncodedSorted — measured
+  *              fastest, the Pipeline default since round 5) —
+  * and reports wall plus TOTAL shuffle write bytes/records per leg via a
+  * task-metrics listener. Wall alone can under-report a byte win on this
+  * single-host VM (shuffle "bytes" never cross a NIC here); the
+  * byte/record counts are the cluster-relevant evidence. Diagnostic only.
   * Usage: runMain graft.ExchangeAB [nConvs] [cores] [reps]
   */
 object ExchangeAB {
@@ -48,32 +53,41 @@ object ExchangeAB {
     val tally = new ShuffleTally
     spark.sparkContext.addSparkListener(tally)
 
-    def chain(prePack: Boolean, convs: Long = nConvs): Long = {
+    def chain(variant: String, convs: Long = nConvs): Long = {
       val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
       import spark.implicits._
-      Triples.runEncoded(Canon.run(
-          Link.run(Detect.run(Transcripts.turns(spark, convs), tagger),
-            Transcripts.aliasRows.toDF()),
-          Transcripts.sameAs.toDF("src", "dst")), Pipeline.transcriptsDict,
-        convCodec = Some(Pipeline.transcriptsConvCodec), prePack = prePack)
-        .count()
+      val canon = Canon.run(
+        Link.run(Detect.run(Transcripts.turns(spark, convs), tagger),
+          Transcripts.aliasRows.toDF()),
+        Transcripts.sameAs.toDF("src", "dst"))
+      val codec = Some(Pipeline.transcriptsConvCodec)
+      val triples = variant match {
+        case "mention" => Triples.runEncoded(canon, Pipeline.transcriptsDict,
+          convCodec = codec, prePack = false)
+        case "prepack" => Triples.runEncoded(canon, Pipeline.transcriptsDict,
+          convCodec = codec, prePack = true)
+        case "sorted" => Triples.runEncodedSorted(canon, Pipeline.transcriptsDict,
+          convCodec = codec)
+      }
+      triples.count()
     }
 
-    // JIT/codegen warmup on BOTH variants at 1/10 scale
-    chain(prePack = false, nConvs / 10); chain(prePack = true, nConvs / 10)
+    val variants = Seq("mention", "prepack", "sorted")
+    // JIT/codegen warmup on ALL variants at 1/10 scale
+    variants.foreach(chain(_, nConvs / 10))
     spark.catalog.clearCache()
 
-    for (prePack <- Seq(false, true); rep <- 1 to reps) {
+    for (variant <- variants; rep <- 1 to reps) {
       spark.catalog.clearCache()
       Thread.sleep(2000) // drain the async listener bus before snapshotting
       val b0 = tally.writeBytes.get(); val r0 = tally.writeRecords.get()
       val t0 = System.nanoTime()
-      val triples = chain(prePack)
+      val triples = chain(variant)
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(2000)
       val bytes = tally.writeBytes.get() - b0
       val recs = tally.writeRecords.get() - r0
-      println(f"""{"metric":"exchange_ab","pre_pack":$prePack,"rep":$rep,"convs":$nConvs,"triples":$triples,"sec":$sec%.2f,"shuffle_write_bytes":$bytes,"shuffle_write_records":$recs}""")
+      println(f"""{"metric":"exchange_ab","variant":"$variant","rep":$rep,"convs":$nConvs,"triples":$triples,"sec":$sec%.2f,"shuffle_write_bytes":$bytes,"shuffle_write_records":$recs}""")
     }
     spark.stop()
   }

@@ -60,8 +60,11 @@ object Pipeline {
         enableFuzzy = false).toDF()
     lazy val canon: DataFrame =
       Canon.run(linked.as[LinkedMention], Transcripts.sameAs.toDF("src", "dst")).toDF()
+    // sorted-exchange variant: measured fastest of the three exchange
+    // shapes at 18.2M turns / 32c (BENCH.md §Exchange: min 8.54 s vs 11.54
+    // collect_list/window, two sessions), bit-identical output
     lazy val triples: DataFrame = {
-      val t = Triples.runEncoded(canon.as[CanonMention], Pipeline.transcriptsDict,
+      val t = Triples.runEncodedSorted(canon.as[CanonMention], Pipeline.transcriptsDict,
         convCodec = Some(Pipeline.transcriptsConvCodec)).toDF()
       if (persistTriples) {
         val p = t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -201,7 +204,7 @@ object Pipeline {
 
     val triples = SnapshotIO.resumeOrCompute(spark, workDir, "triples", inputKey,
         protocol = protocol) {
-      Triples.runEncoded(canon.as[CanonMention], transcriptsDict,
+      Triples.runEncodedSorted(canon.as[CanonMention], transcriptsDict,
         convCodec = Some(transcriptsConvCodec)).toDF()
     }
 

@@ -182,6 +182,49 @@ object Triples {
   final case class ConvCodec(encode: Column => Column, decode: Long => String)
     extends Serializable
 
+  /** The dictionary-encoded mention relation both encoded paths exchange:
+    * (_cid conv key [string or codec long], turn_idx int, _m packed long).
+    * All encode guards fail LOUDLY (raise_error) — see `runEncoded` doc.
+    */
+  private def packedMentions(canon: Dataset[CanonMention], dict: TripleDict,
+                             convCodec: Option[ConvCodec]): DataFrame = {
+    val spark = canon.sparkSession
+    import spark.implicits._
+    val convKey: Column = convCodec match {
+      case Some(cc) => coalesce(cc.encode(col("conv_id")).cast("long"),
+        raise_error(concat(lit("Triples.runEncoded: convCodec failed on: "),
+          col("conv_id"))).cast("long"))
+      case None => col("conv_id")
+    }
+    val eidDf = spark.createDataset(
+        dict.entities.toIndexedSeq.zipWithIndex.map { case (e, i) => (e, i) })
+      .toDF("_can", "_eid")
+    val labelMap = typedlit(dict.labels.zipWithIndex.toMap)
+    // loud-failure guards: a mention the dictionary can't encode must abort
+    // the job (silent drops would corrupt the KG); start offsets are bounded
+    // by the packing layout
+    // between(): a NEGATIVE start from a corrupt upstream row would pack into
+    // the long's high bits and silently corrupt sort order + dedup — it must
+    // hit the same loud raise_error as an oversized one (ADVICE r4)
+    val startChecked = when(col("start").between(0, MaxPackedStart - 1), col("start"))
+      .otherwise(raise_error(concat(
+        lit(s"Triples.runEncoded: start outside [0, $MaxPackedStart) in "),
+        col("conv_id"))).cast("int"))
+    val lbChecked = coalesce(try_element_at(labelMap, col("label")),
+      raise_error(concat(lit("Triples.runEncoded: label not in dict: "),
+        col("label"))).cast("int"))
+    val eidChecked = coalesce(col("_eid"),
+      raise_error(concat(lit("Triples.runEncoded: canonical_id not in dict: "),
+        col("canonical_id"))).cast("int"))
+    canon
+      .filter(col("canonical_id").isNotNull)
+      .join(broadcast(eidDf), col("canonical_id") === col("_can"), "left")
+      .select(convKey.as("_cid"), col("turn_idx"),
+        (shiftleft(startChecked.cast("long"), 40) +
+          shiftleft(lbChecked.cast("long"), 32) +
+          eidChecked.cast("long")).as("_m"))
+  }
+
   /** Dictionary-encoded variant of `run` — the pipeline's hot path. The
     * triple exchange is the measured shuffle-byte ceiling of the whole flow
     * (BENCH.md stage breakdown: ~75% of pipeline wall at 18.2M turns), and
@@ -211,40 +254,7 @@ object Triples {
     require(chunkTurns >= 2, s"chunkTurns must be ≥ 2, got $chunkTurns")
     val spark = canon.sparkSession
     import spark.implicits._
-
-    val convKey: Column = convCodec match {
-      case Some(cc) => coalesce(cc.encode(col("conv_id")).cast("long"),
-        raise_error(concat(lit("Triples.runEncoded: convCodec failed on: "),
-          col("conv_id"))).cast("long"))
-      case None => col("conv_id")
-    }
-    val eidDf = spark.createDataset(
-        dict.entities.toIndexedSeq.zipWithIndex.map { case (e, i) => (e, i) })
-      .toDF("_can", "_eid")
-    val labelMap = typedlit(dict.labels.zipWithIndex.toMap)
-    // loud-failure guards: a mention the dictionary can't encode must abort
-    // the job (silent drops would corrupt the KG); start offsets are bounded
-    // by the packing layout
-    // between(): a NEGATIVE start from a corrupt upstream row would pack into
-    // the long's high bits and silently corrupt sort order + dedup — it must
-    // hit the same loud raise_error as an oversized one (ADVICE r4)
-    val startChecked = when(col("start").between(0, MaxPackedStart - 1), col("start"))
-      .otherwise(raise_error(concat(
-        lit(s"Triples.runEncoded: start outside [0, $MaxPackedStart) in "),
-        col("conv_id"))).cast("int"))
-    val lbChecked = coalesce(try_element_at(labelMap, col("label")),
-      raise_error(concat(lit("Triples.runEncoded: label not in dict: "),
-        col("label"))).cast("int"))
-    val eidChecked = coalesce(col("_eid"),
-      raise_error(concat(lit("Triples.runEncoded: canonical_id not in dict: "),
-        col("canonical_id"))).cast("int"))
-    val packed = canon
-      .filter(col("canonical_id").isNotNull)
-      .join(broadcast(eidDf), col("canonical_id") === col("_can"), "left")
-      .select(convKey.as("_cid"), col("turn_idx"),
-        (shiftleft(startChecked.cast("long"), 40) +
-          shiftleft(lbChecked.cast("long"), 32) +
-          eidChecked.cast("long")).as("_m"))
+    val packed = packedMentions(canon, dict, convCodec)
 
     // prePack=true groups locally-contiguous (key, turn) mention runs into
     // one Array[Long] row BEFORE the exchange (detect emits a turn's
@@ -281,6 +291,142 @@ object Triples {
       case None => _.getString(0)
     }
     emitPacked(withPrev, dict, getConv)(spark)
+  }
+
+  /** Sorted-exchange variant of `runEncoded`: the same ONE hash exchange on
+    * (conv key, chunk), but the per-turn grouping, the turn ordering AND the
+    * k=1 cross-turn context all come from a single `sortWithinPartitions`
+    * pass consumed by a streaming per-partition walker — no collect_list
+    * buffers, no window lag columns, no `_ctx` byte on the wire, and no
+    * per-turn `Arrays.sort` (the partition sort already delivers mentions
+    * in packed order; bit 63 is always 0, so the signed long sort is the
+    * unsigned / UTF-8-rank one). Context-ness is DERIVED in the walker
+    * (`floor(turn/chunkTurns) != chunk`) instead of shipped. Output is
+    * identical to `runEncoded`/`run` (equivalence-tested in PipelineSpec);
+    * per-task memory is O(one turn), strictly less than the collect_list
+    * path's per-group buffers, and the post-shuffle sort is Spark's
+    * spill-safe external sorter — arbitrarily large (key, chunk) groups
+    * degrade to disk, never OOM. Measured fastest of the three exchange
+    * shapes at 18.2M turns / 32c (min 8.54 s vs 11.54 s collect_list/window
+    * and 12.02 s pre-pack, two A/B sessions — graft.ExchangeAB, BENCH.md
+    * §Exchange), so this is the `Pipeline` default since round 5.
+    */
+  def runEncodedSorted(canon: Dataset[CanonMention], dict: TripleDict,
+                       chunkTurns: Int = DefaultChunkTurns,
+                       convCodec: Option[ConvCodec] = None): Dataset[Triple] = {
+    require(chunkTurns >= 2, s"chunkTurns must be ≥ 2, got $chunkTurns")
+    val spark = canon.sparkSession
+    import spark.implicits._
+    val chunk = floor(col("turn_idx") / chunkTurns).cast("int")
+    val inOverlap = pmod(col("turn_idx"), lit(chunkTurns)) === chunkTurns - 1
+    val dup = packedMentions(canon, dict, convCodec)
+      .withColumn("_chunk", explode(when(inOverlap, array(chunk, chunk + 1))
+        .otherwise(array(chunk))))
+      .select(col("_cid"), col("_chunk"), col("turn_idx"), col("_m"))
+      .toDF("_1", "_2", "_3", "_4")
+    val bcEnts = spark.sparkContext.broadcast(dict.entities)
+    val perB = dict.rankOfLabel("PER")
+    val orgB = dict.rankOfLabel("ORG")
+    val locB = dict.rankOfLabel("LOC")
+    convCodec match {
+      case Some(cc) =>
+        dup.as[(Long, Int, Int, Long)]
+          .repartition(col("_1"), col("_2"))
+          .sortWithinPartitions("_1", "_2", "_3", "_4")
+          .mapPartitions(sortedWalker[Long](cc.decode, chunkTurns, bcEnts,
+            perB, orgB, locB))
+      case None =>
+        dup.as[(String, Int, Int, Long)]
+          .repartition(col("_1"), col("_2"))
+          .sortWithinPartitions("_1", "_2", "_3", "_4")
+          .mapPartitions(sortedWalker[String](identity, chunkTurns, bcEnts,
+            perB, orgB, locB))
+    }
+  }
+
+  /** The per-partition walker behind `runEncodedSorted`: input rows are
+    * (conv key, chunk, turn_idx, packed mention), sorted exactly that way,
+    * with every (key, chunk) group wholly inside this partition (hash
+    * repartition). Streams one turn at a time — accumulate the turn's
+    * mentions in a growable scratch array, then on turn change emit its
+    * triples via `emitTurnRules` (skipped for context copies) and roll the
+    * array into the lag slot (swap, no allocation). Lag resets on every
+    * (key, chunk) change, so context never leaks across conversations or
+    * chunks.
+    */
+  private def sortedWalker[K](decode: K => String, chunkTurns: Int,
+      bcEnts: org.apache.spark.broadcast.Broadcast[Array[String]],
+      perB: Int, orgB: Int, locB: Int)
+      : Iterator[(K, Int, Int, Long)] => Iterator[Triple] = { it =>
+    val ents = bcEnts.value
+    val dedup = new PairDedup
+    new Iterator[Triple] {
+      private val out = new scala.collection.mutable.ArrayBuffer[Triple]()
+      private var outIdx = 0
+      private var curArr = new Array[Long](8)
+      private var curLen = 0
+      private var lastArr = new Array[Long](8)
+      private var lastLen = 0
+      private var lastTurn = -2
+      private var lastValid = false
+      private var curK: K = _
+      private var curChunk = 0
+      private var curTurn = 0
+      private var haveCur = false
+      private var convId: String = null
+
+      private def append(m: Long): Unit = {
+        if (curLen == curArr.length) curArr = java.util.Arrays.copyOf(curArr, curLen * 2)
+        curArr(curLen) = m
+        curLen += 1
+      }
+      // finish the accumulated turn: emit unless it is a context copy, then
+      // roll it into the lag slot (array swap, no allocation)
+      private def flushTurn(): Unit = {
+        val adjacent = lastValid && lastTurn == curTurn - 1
+        if (curTurn / chunkTurns == curChunk)
+          emitTurnRules(curArr, curLen,
+            if (adjacent) lastArr else EmptyLongs, if (adjacent) lastLen else 0,
+            convId, curTurn, ents, perB, orgB, locB, dedup, out)
+        val t = lastArr; lastArr = curArr; curArr = t
+        lastLen = curLen; lastTurn = curTurn; lastValid = true
+        curLen = 0
+      }
+      private def advance(): Unit =
+        while (outIdx >= out.length && (haveCur || it.hasNext)) {
+          if (!it.hasNext) { // final accumulated turn
+            out.clear(); outIdx = 0
+            flushTurn()
+            haveCur = false
+          } else {
+            val r = it.next()
+            if (!haveCur) {
+              curK = r._1; curChunk = r._2; curTurn = r._3
+              convId = decode(r._1); lastValid = false
+              haveCur = true
+              append(r._4)
+            } else if (r._1 == curK && r._2 == curChunk && r._3 == curTurn) {
+              append(r._4)
+            } else {
+              out.clear(); outIdx = 0
+              flushTurn()
+              if (r._1 != curK || r._2 != curChunk) {
+                lastValid = false // lag never crosses a (key, chunk) edge
+                if (r._1 != curK) { convId = decode(r._1); curK = r._1 }
+                curChunk = r._2
+              }
+              curTurn = r._3
+              append(r._4)
+            }
+          }
+        }
+      def hasNext: Boolean = { advance(); outIdx < out.length }
+      def next(): Triple = {
+        advance()
+        if (outIdx >= out.length) throw new NoSuchElementException("empty walker")
+        val t = out(outIdx); outIdx += 1; t
+      }
+    }
   }
 
   /** Run-length grouping of consecutive (key, turn) mention rows into one
@@ -388,65 +534,83 @@ object Triples {
           else EmptyLongs
         java.util.Arrays.sort(prev)
 
-        dedup.clear()
         out.clear()
-        @inline def lbOf(v: Long): Int = ((v >>> 32) & 0xff).toInt
-        @inline def eidOf(v: Long): Int = (v & 0xffffffffL).toInt
-        def emitT(predId: Int, pred: String, s: Int, o: Int): Unit = {
-          val key = (predId.toLong << 62) | (s.toLong << 31) | o.toLong
-          if (dedup.add(key)) out += Triple(ents(s), pred, ents(o), convId, turnIdx)
-        }
-        // rule order mirrors withinTurnTriples ++ followUps exactly
-        var i = 0
-        while (i < ms.length) { // PER × ORG → affiliated_with
-          if (lbOf(ms(i)) == perB) {
-            var j = 0
-            while (j < ms.length) {
-              if (lbOf(ms(j)) == orgB) emitT(0, "affiliated_with", eidOf(ms(i)), eidOf(ms(j)))
-              j += 1
-            }
-          }
-          i += 1
-        }
-        i = 0
-        while (i < ms.length) { // PER × PER (i<j, distinct ids) → mentions_with
-          if (lbOf(ms(i)) == perB) {
-            var j = i + 1
-            while (j < ms.length) {
-              if (lbOf(ms(j)) == perB && eidOf(ms(i)) != eidOf(ms(j)))
-                emitT(1, "mentions_with", eidOf(ms(i)), eidOf(ms(j)))
-              j += 1
-            }
-          }
-          i += 1
-        }
-        i = 0
-        while (i < ms.length) { // ORG × LOC → located_in
-          if (lbOf(ms(i)) == orgB) {
-            var j = 0
-            while (j < ms.length) {
-              if (lbOf(ms(j)) == locB) emitT(2, "located_in", eidOf(ms(i)), eidOf(ms(j)))
-              j += 1
-            }
-          }
-          i += 1
-        }
-        i = 0
-        while (i < ms.length) { // PER(t) × PER(t−1), distinct ids → follows_up
-          if (lbOf(ms(i)) == perB) {
-            var j = 0
-            while (j < prev.length) {
-              if (lbOf(prev(j)) == perB && eidOf(ms(i)) != eidOf(prev(j)))
-                emitT(3, "follows_up", eidOf(ms(i)), eidOf(prev(j)))
-              j += 1
-            }
-          }
-          i += 1
-        }
+        emitTurnRules(ms, ms.length, prev, prev.length, convId, turnIdx,
+          ents, perB, orgB, locB, dedup, out)
         // out is reused across rows: copy the emitted slice (List avoids
         // retaining the buffer's backing array)
         out.toList
       }
+    }
+  }
+
+  /** The four pattern-rule loops over one turn's SORTED packed mentions
+    * (`ms(0 until msLen)`) with the adjacent previous turn's sorted packed
+    * mentions (`prev(0 until prevLen)`, length 0 when none) — the ONE
+    * implementation behind `emitPacked` (collect_list arrays) and the
+    * sorted-exchange walker (growable scratch arrays; hence explicit
+    * lengths). Appends to `out`; per-turn dedup via `dedup` (cleared here).
+    * Rule order mirrors withinTurnTriples ++ followUps exactly.
+    */
+  private def emitTurnRules(ms: Array[Long], msLen: Int,
+                            prev: Array[Long], prevLen: Int,
+                            convId: String, turnIdx: Int,
+                            ents: IndexedSeq[String],
+                            perB: Int, orgB: Int, locB: Int,
+                            dedup: PairDedup,
+                            out: scala.collection.mutable.ArrayBuffer[Triple]): Unit = {
+    dedup.clear()
+    @inline def lbOf(v: Long): Int = ((v >>> 32) & 0xff).toInt
+    @inline def eidOf(v: Long): Int = (v & 0xffffffffL).toInt
+    def emitT(predId: Int, pred: String, s: Int, o: Int): Unit = {
+      val key = (predId.toLong << 62) | (s.toLong << 31) | o.toLong
+      if (dedup.add(key)) out += Triple(ents(s), pred, ents(o), convId, turnIdx)
+    }
+    var i = 0
+    while (i < msLen) { // PER × ORG → affiliated_with
+      if (lbOf(ms(i)) == perB) {
+        var j = 0
+        while (j < msLen) {
+          if (lbOf(ms(j)) == orgB) emitT(0, "affiliated_with", eidOf(ms(i)), eidOf(ms(j)))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    i = 0
+    while (i < msLen) { // PER × PER (i<j, distinct ids) → mentions_with
+      if (lbOf(ms(i)) == perB) {
+        var j = i + 1
+        while (j < msLen) {
+          if (lbOf(ms(j)) == perB && eidOf(ms(i)) != eidOf(ms(j)))
+            emitT(1, "mentions_with", eidOf(ms(i)), eidOf(ms(j)))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    i = 0
+    while (i < msLen) { // ORG × LOC → located_in
+      if (lbOf(ms(i)) == orgB) {
+        var j = 0
+        while (j < msLen) {
+          if (lbOf(ms(j)) == locB) emitT(2, "located_in", eidOf(ms(i)), eidOf(ms(j)))
+          j += 1
+        }
+      }
+      i += 1
+    }
+    i = 0
+    while (i < msLen) { // PER(t) × PER(t−1), distinct ids → follows_up
+      if (lbOf(ms(i)) == perB) {
+        var j = 0
+        while (j < prevLen) {
+          if (lbOf(prev(j)) == perB && eidOf(ms(i)) != eidOf(prev(j)))
+            emitT(3, "follows_up", eidOf(ms(i)), eidOf(prev(j)))
+          j += 1
+        }
+      }
+      i += 1
     }
   }
 

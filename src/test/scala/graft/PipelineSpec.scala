@@ -83,6 +83,18 @@ class PipelineSpec extends SparkSpecBase {
       prePack = false)) == viaWindow)
     assert(sorted(Triples.runEncoded(canon, Pipeline.transcriptsDict, chunkTurns = 3,
       convCodec = Some(Pipeline.transcriptsConvCodec), prePack = false)) == viaWindow)
+    // sorted-exchange walker (no collect_list/window; lag from the partition
+    // sort) — small chunks force cross-chunk context through the walker's
+    // derived-ctx path
+    assert(sorted(Triples.runEncodedSorted(canon, Pipeline.transcriptsDict)) == viaWindow)
+    assert(sorted(Triples.runEncodedSorted(canon, Pipeline.transcriptsDict,
+      chunkTurns = 3)) == viaWindow)
+    assert(sorted(Triples.runEncodedSorted(canon, Pipeline.transcriptsDict,
+      chunkTurns = 2)) == viaWindow)
+    assert(sorted(Triples.runEncodedSorted(canon, Pipeline.transcriptsDict,
+      convCodec = Some(Pipeline.transcriptsConvCodec))) == viaWindow)
+    assert(sorted(Triples.runEncodedSorted(canon, Pipeline.transcriptsDict,
+      chunkTurns = 3, convCodec = Some(Pipeline.transcriptsConvCodec))) == viaWindow)
   }
 
   /** All messages down a Spark-nested cause chain (raise_error wraps). */
@@ -153,6 +165,8 @@ class PipelineSpec extends SparkSpecBase {
         for (l <- labels.toSeq; i <- 0 until 5) yield s"$l$i")
       assert(sorted(Triples.runEncoded(canon, dict, chunkTurns = chunk)) == viaWindow,
         s"trial $trial encoded chunkTurns=$chunk diverged")
+      assert(sorted(Triples.runEncodedSorted(canon, dict, chunkTurns = chunk)) == viaWindow,
+        s"trial $trial sorted-exchange chunkTurns=$chunk diverged")
     }
   }
 
@@ -230,6 +244,7 @@ class PipelineSpec extends SparkSpecBase {
     val dict = TripleDict(Seq("PER"),
       (0 until 7).map(i => s"P$i") ++ (0 until 60).map(i => s"Q$i"))
     assert(sorted(Triples.runEncoded(canon, dict, chunkTurns = 50)) == chunked)
+    assert(sorted(Triples.runEncodedSorted(canon, dict, chunkTurns = 50)) == chunked)
   }
 
   test("canonicalization resolves sibling org ids to component min") {

@@ -83,6 +83,23 @@ class PlansSpec extends SparkSpecBase {
     assert(p.contains("_m"), s"packed column missing from plan:\n$p")
   }
 
+  test("sorted-exchange triple assembly: ONE shuffle, no window, partition-local sort") {
+    val canon = (0 until 40).map(i =>
+      CanonMention(s"c${i % 4}", i / 4, 0, 5, "PER", "x", s"PER$i", s"PER$i")).toDS()
+    val dict = TripleDict(Seq("PER"), (0 until 40).map(i => s"PER$i"))
+    val p = plan(Triples.runEncodedSorted(canon, dict, chunkTurns = 2).toDF())
+    // same single hash(conv key, chunk) exchange as runEncoded, but the
+    // grouping/ordering/lag machinery is gone: no window, no aggregation —
+    // just a partition-local sort feeding the walker. The sort must NOT be
+    // global (that would add a range exchange).
+    assert(p.contains("BroadcastHashJoin"), s"dict encode must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join allowed:\n$p")
+    assert(!p.contains("Window"), s"sorted path must not window:\n$p")
+    assert(!p.contains("rangepartitioning"), s"sort must be partition-local:\n$p")
+    val nShuffle = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nShuffle == 1, s"expected exactly 1 shuffle exchange, got $nShuffle:\n$p")
+  }
+
   test("brute-force top-k broadcasts the query side, not the corpus") {
     val emb = (0 until 10).map(i => (i.toLong, Array.fill(4)(i.toFloat))).toDF("vec_id", "embedding")
     val p = plan(graft.ops.Similarity.bruteForceTopK(emb.filter($"vec_id" < 2), emb, 3))
