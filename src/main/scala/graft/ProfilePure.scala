@@ -56,9 +56,16 @@ object ProfilePure {
         Link.run(Detect.run(Transcripts.turns(spark, nConvs), tagger), alias),
         Transcripts.sameAs.toDF("src", "dst"))).count()
     }
-    t("gen..triplesEnc") { // dictionary-encoded exchange (Pipeline default)
+    t("gen..triplesEnc") { // dictionary-encoded collect_list/window exchange
       val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
       Triples.runEncoded(Canon.run(
+        Link.run(Detect.run(Transcripts.turns(spark, nConvs), tagger), alias),
+        Transcripts.sameAs.toDF("src", "dst")), Pipeline.transcriptsDict,
+        convCodec = Some(Pipeline.transcriptsConvCodec)).count()
+    }
+    t("gen..triplesSrt") { // sorted-exchange walker (Pipeline default, r5)
+      val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
+      Triples.runEncodedSorted(Canon.run(
         Link.run(Detect.run(Transcripts.turns(spark, nConvs), tagger), alias),
         Transcripts.sameAs.toDF("src", "dst")), Pipeline.transcriptsDict,
         convCodec = Some(Pipeline.transcriptsConvCodec)).count()

@@ -22,6 +22,20 @@ import scala.collection.mutable
   */
 final class Trie(useSingle: Boolean = true) extends Serializable {
 
+  /** A node's frozen read view: parallel sorted (char, child) arrays. A
+    * dedicated holder whose fields are FINAL, so JMM final-field semantics
+    * give safe unsynchronized publication: any thread that observes the
+    * holder reference observes fully-initialized arrays (built before the
+    * constructor ran). Detect walkers are already safe via the `rootIndex`
+    * lazy-val monitor; this hardens the OTHER read paths (`search` /
+    * `enumerateMatch` on a trie a detect walk is concurrently freezing) —
+    * with the old two-mutable-field pair such a reader could observe one
+    * array without the other (NPE) or an array reference before its
+    * element writes (silent wrong miss).
+    */
+  private[Trie] final class FrozenChildren(val ck: Array[Char],
+                                           val cn: Array[Node])
+
   final class Node extends Serializable {
     var children: mutable.HashMap[Char, Node] = null // lazily allocated
     var isWord: Boolean = false
@@ -29,17 +43,18 @@ final class Trie(useSingle: Boolean = true) extends Serializable {
       * dictionary-owned string instead of allocating a substring per hit
       */
     var word: String = null
-    // frozen read view (parallel sorted arrays, built by the rootIndex
-    // freeze): a linear char scan over a tiny fanout beats HashMap.getOrElse
-    // (no Char boxing, no hash) on the detect walk. Transient — executors
-    // rebuild lazily after broadcast deserialization; insert() invalidates.
-    @transient private[Trie] var ck: Array[Char] = null
-    @transient private[Trie] var cn: Array[Node] = null
+    // frozen read view (built by the rootIndex freeze): a linear char scan
+    // over a tiny fanout beats HashMap.getOrElse (no Char boxing, no hash)
+    // on the detect walk. Transient — executors rebuild lazily after
+    // broadcast deserialization. A racing reader that still sees null just
+    // takes the HashMap path (correct, the map is frozen-read-only).
+    @transient private[Trie] var fz: FrozenChildren = null
     def child(c: Char): Node = {
-      val k = ck
-      if (k != null) {
+      val f = fz
+      if (f != null) {
+        val k = f.ck
         var i = 0
-        while (i < k.length) { if (k(i) == c) return cn(i); i += 1 }
+        while (i < k.length) { if (k(i) == c) return f.cn(i); i += 1 }
         null
       } else if (children == null) null
       else children.getOrElse(c, null)
@@ -64,9 +79,9 @@ final class Trie(useSingle: Boolean = true) extends Serializable {
     // broadcast instance
     def freeze(n: Node): Unit = if (n.children != null) {
       val ks = n.children.keysIterator.toArray.sorted
-      n.ck = ks
-      n.cn = ks.map(n.children)
-      n.cn.foreach(freeze)
+      val ns = ks.map(n.children)
+      n.fz = new FrozenChildren(ks, ns) // arrays complete BEFORE the ctor
+      ns.foreach(freeze)
     }
     freeze(root)
     val arr = new Array[Node](Char.MaxValue + 1)
@@ -97,7 +112,7 @@ final class Trie(useSingle: Boolean = true) extends Serializable {
     var k = 0
     while (k < word.length) {
       if (ptr.children == null) ptr.children = mutable.HashMap.empty
-      ptr.ck = null; ptr.cn = null // invalidate any frozen view on this path
+      ptr.fz = null // invalidate any frozen view on this path
       ptr = ptr.children.getOrElseUpdate(word.charAt(k), new Node)
       deep += 1
       k += 1

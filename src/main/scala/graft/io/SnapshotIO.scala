@@ -76,11 +76,12 @@ object SnapshotIO {
     */
   private def withLock[A](lock: Path, onCommitted: => Option[A])(body: => A): A = {
     Files.createDirectories(lock.getParent)
+    val holderId = java.util.UUID.randomUUID().toString
     var acquired = false
     while (!acquired) {
       try {
         Files.write(lock,
-          s"""{"holder":"${java.util.UUID.randomUUID()}","acquired_at":"${java.time.Instant.now()}"}"""
+          s"""{"holder":"$holderId","acquired_at":"${java.time.Instant.now()}"}"""
             .getBytes(StandardCharsets.UTF_8),
           StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
         acquired = true
@@ -124,8 +125,15 @@ object SnapshotIO {
     try body
     finally {
       heartbeat.interrupt()
-      try Files.deleteIfExists(lock)
-      catch { case _: java.io.IOException => () } // stale-TTL reclaims it
+      // release ONLY a lock we still hold: in the residual wedged-past-TTL
+      // scenario a peer has stolen the stale lock and CREATE_NEW'd a fresh
+      // one at the same path — an unconditional delete here would remove
+      // the NEW holder's lock and let a third writer in beside it. The
+      // read→delete window is milliseconds against the 1 h steal TTL.
+      try {
+        val txt = new String(Files.readAllBytes(lock), StandardCharsets.UTF_8)
+        if (txt.contains(holderId)) Files.deleteIfExists(lock)
+      } catch { case _: java.io.IOException => () } // stale-TTL reclaims it
     }
   }
 

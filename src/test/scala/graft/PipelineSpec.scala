@@ -472,6 +472,28 @@ class ResumeSpec extends SparkSpecBase {
     assert(!Files.exists(lock), "stolen lock must be released after commit")
     SnapshotIO.deleteRecursively(Paths.get(dir))
   }
+
+  test("writer lock: release never deletes a lock stolen and re-held by a peer") {
+    import graft.io.SnapshotIO
+    import java.nio.file.{Files, Paths}
+    // The residual wedged-holder scenario: while a writer is inside its
+    // body, a peer deems its lock stale, steals it, and CREATE_NEWs a fresh
+    // lock at the same path. The original writer's release must then leave
+    // that fresh lock alone (holder-id check) — an unconditional delete
+    // would let a third writer in beside the live peer. Simulated by
+    // swapping the lock's content for a foreign holder's inside compute.
+    val dir = Files.createTempDirectory("graft_stolen").toString
+    val lock = SnapshotIO.lockPath(SnapshotIO.snapshotDir(dir, "stg", "h0"))
+    val out = SnapshotIO.resumeOrCompute(spark, dir, "stg", "h0") {
+      Files.delete(lock) // the peer's steal…
+      Files.writeString(lock, """{"holder":"peer-jvm"}""") // …and fresh lock
+      spark.range(5).toDF()
+    }
+    assert(out.count() == 5)
+    assert(Files.exists(lock), "release must not delete a peer's re-held lock")
+    assert(Files.readString(lock).contains("peer-jvm"))
+    SnapshotIO.deleteRecursively(Paths.get(dir))
+  }
 }
 
 class CanonSpec extends SparkSpecBase {
