@@ -69,11 +69,18 @@ object SkewBench {
     stages.Triples.runWindow(corpus(hugeTurns / 10)).count()
     stages.Triples.run(corpus(hugeTurns / 10)).count()
     stages.Triples.runEncoded(corpus(hugeTurns / 10), dict).count()
+    stages.Triples.runEncodedSorted(corpus(hugeTurns / 10), dict).count()
     val window = (1 to 2).map(_ => time(stages.Triples.runWindow(corpus(hugeTurns)).count())).min
     val chunked = (1 to 2).map(_ => time(stages.Triples.run(corpus(hugeTurns)).count())).min
     val encoded = (1 to 2).map(_ =>
       time(stages.Triples.runEncoded(corpus(hugeTurns), dict).count())).min
-    println(f"""{"metric":"skew_triples","huge_turns":$hugeTurns,"window_sec":$window%.1f,"chunked_sec":$chunked%.1f,"encoded_sec":$encoded%.1f,"speedup":${window / chunked}%.2f,"speedup_encoded":${window / encoded}%.2f}""")
+    // the sorted-exchange walker under the same skew: the huge conversation
+    // hash-spreads by (key, chunk) like the others, and within a chunk the
+    // 64k-turn group is one spill-safe external sort, not a collect_list
+    // buffer — per-task memory O(one turn)
+    val sorted = (1 to 2).map(_ =>
+      time(stages.Triples.runEncodedSorted(corpus(hugeTurns), dict).count())).min
+    println(f"""{"metric":"skew_triples","huge_turns":$hugeTurns,"window_sec":$window%.1f,"chunked_sec":$chunked%.1f,"encoded_sec":$encoded%.1f,"sorted_sec":$sorted%.1f,"speedup":${window / chunked}%.2f,"speedup_encoded":${window / encoded}%.2f,"speedup_sorted":${window / sorted}%.2f}""")
     spark.stop()
   }
 }
