@@ -310,6 +310,10 @@ object Triples {
     * shapes at 18.2M turns / 32c (min 8.54 s vs 11.54 s collect_list/window
     * and 12.02 s pre-pack, two A/B sessions — graft.ExchangeAB, BENCH.md
     * §Exchange), so this is the `Pipeline` default since round 5.
+    *
+    * Deliberately k=1-only (the deepest rule in the set): a hypothetical
+    * deeper cross-turn rule should use `runEncoded`, whose
+    * `chunkedWithContext` machinery generalizes to overlap depth k.
     */
   def runEncodedSorted(canon: Dataset[CanonMention], dict: TripleDict,
                        chunkTurns: Int = DefaultChunkTurns,
