@@ -87,7 +87,16 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
     tagSet.map(t => if (t.isEmpty) 'O' else t.charAt(0)).toArray
   private val typeArr: Array[String] = tagSet.map(Tags.typeOf).toArray
   @transient private lazy val scratch =
-    ThreadLocal.withInitial[Viterbi.Scratch](() => new Viterbi.Scratch(256, C))
+    ThreadLocal.withInitial[DetectScratch](() => new DetectScratch(256, C))
+  /** Test hook: force the Viterbi path even for conflict-free turns, so
+    * equivalence tests can compare the direct span emit against the decode
+    * it claims to equal. Never set in production.
+    */
+  @transient private[graft] var disableDirect = false
+  /** Turns served by the conflict-free direct path (live telemetry +
+    * positive control for tests — proves the fast path actually fires).
+    */
+  @transient private[graft] lazy val directTurns = new java.util.concurrent.atomic.LongAdder
 
   def tagBatch(texts: Seq[String]): Seq[Array[String]] = texts.map(tagOne)
 
@@ -107,7 +116,21 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
   def spanOne(text: String): List[Span] = {
     val n = decodeInto(text)
     if (n <= 0) return Nil // empty text, or the zero-vote all-O fast path
-    val path = scratch.get().path
+    val s = scratch.get()
+    if (s.direct) {
+      // conflict-free turns: the spans ARE the collected words (proof in
+      // decodeInto). Surfaces reuse the dictionary-owned word string — by
+      // trie-match construction it equals text.substring(start, end).
+      val out = scala.collection.mutable.ListBuffer.empty[Span]
+      var w = 0
+      while (w < s.nWords) {
+        val st = s.starts(w); val word = s.words(w)
+        out += Span(st, st + word.length, typeArr(s.rows(w)(0)), word)
+        w += 1
+      }
+      return out.toList
+    }
+    val path = s.vit.path
     val out = scala.collection.mutable.ListBuffer.empty[Span]
     // The reference machine's word buffer is ALWAYS a contiguous text
     // slice: it clears at every B/O/S and appends every other char, so its
@@ -148,41 +171,71 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
     }
     val s = scratch.get()
     val out = new Array[String](n)
+    if (s.direct) { // O everywhere except the collected words' BMES tags
+      java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], tagSet(oIdx))
+      var w = 0
+      while (w < s.nWords) {
+        val st = s.starts(w); val len = s.words(w).length; val r = s.rows(w)
+        if (len == 1) out(st) = tagSet(r(3))
+        else {
+          out(st) = tagSet(r(0))
+          var k = 1
+          while (k < len - 1) { out(st + k) = tagSet(r(1)); k += 1 }
+          out(st + len - 1) = tagSet(r(2))
+        }
+        w += 1
+      }
+      return out
+    }
     var i = 0
-    while (i < n) { out(i) = tagSet(s.path(i)); i += 1 }
+    while (i < n) { out(i) = tagSet(s.vit.path(i)); i += 1 }
     out
   }
 
-  /** Shared hot core: trie-vote emissions + Viterbi decode into the
-    * per-thread scratch; returns the text length (path in `scratch.path`) —
-    * NEGATED when no dictionary match voted, in which case Viterbi is
-    * skipped entirely: with emissions of O = 0.1 per position and
-    * everything else 0, and all allowed transitions scoring 0
-    * (`Viterbi.bmesTransitions`), the all-O path is the UNIQUE argmax
-    * (any path with a non-O position strictly loses that position's 0.1),
-    * so the decode is known without running it. Entity-free turns — a
-    * large share of any real transcript corpus — skip the n·C² decode.
+  /** Shared hot core: trie walk collecting the dictionary-hit words, then
+    * the cheapest correct decode. Returns the text length n with the
+    * outcome in scratch — NEGATED for the zero-vote all-O case:
+    *
+    *   1. **No dict-hit word voted** → return −n, touch nothing: with
+    *      emissions of O = 0.1 per position and everything else 0, and all
+    *      allowed transitions scoring 0 (`Viterbi.bmesTransitions`), the
+    *      all-O path is the UNIQUE argmax (any non-O position strictly
+    *      loses that position's 0.1).
+    *   2. **Voted words pairwise NON-overlapping** (`s.direct`) → the
+    *      emission fill AND the Viterbi decode AND the span walk are all
+    *      skipped; consumers emit straight from the collected word list.
+    *      Proof the decode could not differ: each covered position has
+    *      exactly ONE voted cell (two words voting one position must
+    *      overlap) at exactly 1.0 (> O's 0.1, > 0 elsewhere), so the
+    *      per-position max is unique everywhere; the voted-tags/O path
+    *      attains every per-position max with all transitions valid (word
+    *      internals B→I/M→E, boundaries E|S→B|S|O, START→B|S|O, E|S|O→STOP
+    *      — all score 0), hence it is the unique global argmax: any other
+    *      assignment drops ≥ 0.9 at some position or pays a finite
+    *      `Impossible` it cannot recover (emissions sum to the argmax
+    *      score, < 1e4 apart). No tie-break dependence — DP backtracking
+    *      must return exactly this path. Equivalence is ALSO
+    *      property-tested against the forced-Viterbi path (`disableDirect`)
+    *      including engineered overlaps and demotion cases.
+    *   3. **Overlapping votes** → deferred O(n·C) emission fill, buffered
+    *      votes, sparse-or-dense Viterbi as before (path in
+    *      `scratch.vit.path`).
+    *
+    * Walk semantics unchanged (single-char demotion per
+    * lexicon_tree.py:94-95: a length-1 match votes only when it is the sole
+    * TRIE match at its position; the first-level probe uses the trie's
+    * char-indexed root array).
     */
   private def decodeInto(text: String): Int = {
     val n = text.length
     if (n == 0) return 0
     val s = scratch.get()
-    s.ensure(n)
-    val em = s.emissions
-    // The O(n·C) emission fill is DEFERRED to the first successful
-    // dictionary vote (`vote` below fills when `needFill`): entity-free
-    // turns — a large share of any real transcript corpus — previously paid
-    // the full fill only to take the zero-vote fast path; now they touch no
-    // emission memory at all (DetectMicro-measured, span checksum pinned).
-    //
-    // Inline trie walk from every position; every dictionary match votes its
-    // BMES labels (single-char demotion per lexicon_tree.py:94-95: a length-1
-    // match votes only when it is the sole match at its position). The
-    // first-level probe uses the trie's char-indexed root array — one array
-    // load on the dominant no-match position instead of a boxed HashMap get.
-    var voteMass = 0L // total +1f emission increments — bounds Σ_t max_c em
-    // (Long: an Int could wrap on a ~7M-char match-saturated turn and
-    // silently satisfy the sparse guard with its precondition violated)
+    s.vit.ensure(n)
+    s.nWords = 0
+    s.direct = false
+    var conflictFree = true
+    var maxEnd = 0 // exclusive end of the rightmost voted word so far —
+    // words arrive in ascending start order, so `start < maxEnd` ⇔ overlap
     var i = 0
     while (i < n) {
       var ptr = trie.rootChild(text.charAt(i))
@@ -193,7 +246,15 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
         if (k >= trie.minLen && ptr.isWord) {
           nMatches += 1
           if (k == 0) soloSingle = ptr.word // defer: demoted unless solo
-          else voteMass += vote(em, i, ptr.word, n, voteMass == 0)
+          else {
+            val rows = voteRows.get(ptr.word)
+            if (rows != null) { // dict miss casts no vote (as before)
+              if (i < maxEnd) conflictFree = false
+              val end = i + k + 1
+              if (end > maxEnd) maxEnd = end
+              s.addWord(i, ptr.word, rows)
+            }
+          }
         }
         k += 1
         // same cut order as the reference walk: depth limit checked before
@@ -201,37 +262,48 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
         ptr = if (k < n - i && k <= trie.maxDepth) ptr.child(text.charAt(i + k))
               else null
       }
-      if (soloSingle != null && nMatches == 1)
-        voteMass += vote(em, i, soloSingle, n, voteMass == 0)
+      if (soloSingle != null && nMatches == 1) {
+        val rows = voteRows.get(soloSingle)
+        if (rows != null) {
+          if (i < maxEnd) conflictFree = false
+          if (i + 1 > maxEnd) maxEnd = i + 1
+          s.addWord(i, soloSingle, rows)
+        }
+      }
       i += 1
     }
-    if (voteMass == 0) return -n
+    if (s.nWords == 0) return -n
+    if (conflictFree && !disableDirect) {
+      s.direct = true
+      directTurns.increment()
+      return n
+    }
+    // conflict path: fill emissions, cast the buffered votes, decode
+    val em = s.vit.emissions
+    java.util.Arrays.fill(em, 0, n * C, 0f)
+    var p = 0
+    while (p < n) { em(p * C + oIdx) = 0.1f; p += 1 }
+    var voteMass = 0L // total +1f emission increments — bounds Σ_t max_c em
+    // (Long: an Int could wrap on a ~7M-char match-saturated turn and
+    // silently satisfy the sparse guard with its precondition violated)
+    var w = 0
+    while (w < s.nWords) {
+      voteMass += vote(em, s.starts(w), s.words(w), s.rows(w))
+      w += 1
+    }
     // Sparse decode ≡ dense iff total emission mass stays far below
     // |Impossible| (Viterbi.SparseBmes doc): mass ≤ 0.1·n + voteMass. The
     // dense fallback only triggers on ~50k-char turns saturated with votes.
     if (sparseTrans != null && 0.1f * n + voteMass < 5000f)
-      Viterbi.decodeScratchSparse(s, n, sparseTrans)
+      Viterbi.decodeScratchSparse(s.vit, n, sparseTrans)
     else
-      Viterbi.decodeScratch(s, n, transitions)
+      Viterbi.decodeScratch(s.vit, n, transitions)
     n
   }
 
-  /** Cast the word's BMES votes; @return the number of +1f increments cast
-    * (0 iff the word's label is not in the dictionary). `needFill` (caller
-    * passes `voteMass == 0`) triggers the deferred O(n·C) emission fill
-    * exactly once, immediately before the first successful vote's writes —
-    * a dict-miss vote leaves the emissions untouched so the zero-vote fast
-    * path stays fill-free.
-    */
+  /** Cast one buffered word's BMES votes; @return the +1f increments cast. */
   private def vote(em: Array[Float], start: Int, word: String,
-                   n: Int, needFill: Boolean): Int = {
-    val rows = voteRows.get(word)
-    if (rows == null) return 0
-    if (needFill) {
-      java.util.Arrays.fill(em, 0, n * C, 0f)
-      var p = 0
-      while (p < n) { em(p * C + oIdx) = 0.1f; p += 1 }
-    }
+                   rows: Array[Int]): Int = {
     val len = word.length
     if (len == 1) { em(start * C + rows(3)) += 1f; return 1 }
     em(start * C + rows(0)) += 1f
@@ -239,6 +311,29 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
     while (k < len - 1) { em((start + k) * C + rows(1)) += 1f; k += 1 }
     em((start + len - 1) * C + rows(2)) += 1f
     len
+  }
+}
+
+/** Per-thread detect scratch: the Viterbi buffers plus the walk's collected
+  * dict-hit words (start, dictionary-owned word string, BMES tag rows) and
+  * the direct-path flag. Word buffers grow on demand and are reset per turn
+  * via `nWords = 0`.
+  */
+private[stages] final class DetectScratch(cap0: Int, C: Int) {
+  val vit = new Viterbi.Scratch(cap0, C)
+  var starts: Array[Int] = new Array(16)
+  var words: Array[String] = new Array(16)
+  var rows: Array[Array[Int]] = new Array(16)
+  var nWords = 0
+  var direct = false
+  def addWord(start: Int, word: String, r: Array[Int]): Unit = {
+    if (nWords == starts.length) {
+      starts = java.util.Arrays.copyOf(starts, nWords * 2)
+      words = java.util.Arrays.copyOf(words, nWords * 2)
+      rows = java.util.Arrays.copyOf(rows, nWords * 2)
+    }
+    starts(nWords) = start; words(nWords) = word; rows(nWords) = r
+    nWords += 1
   }
 }
 

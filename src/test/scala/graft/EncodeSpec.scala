@@ -211,6 +211,54 @@ class DetectFastPathSpec extends SparkSpecBase {
     assert(e.getMessage.contains("lacks a full B/I|M/E/S row"))
   }
 
+  test("conflict-free direct path ≡ forced Viterbi decode, overlaps and demotion included") {
+    // A dictionary ENGINEERED for overlap structure:
+    //   "Acme" ⊂ "Acme Corp" (shared prefix → two matches at one position),
+    //   "me Co" (starts INSIDE "Acme Corp" — overlap without shared start),
+    //   "x" (single-char demotion: votes only as the sole match at its
+    //   position — "xy" in the trie demotes it), mixed labels.
+    val aliases = Seq(
+      graft.core.AliasRow("Acme", "E1", "ORG"),
+      graft.core.AliasRow("Acme Corp", "E2", "ORG"),
+      graft.core.AliasRow("me Co", "E3", "LOC"),
+      graft.core.AliasRow("x", "E4", "PER"),
+      graft.core.AliasRow("xy", "E5", "LOC"),
+      graft.core.AliasRow("Berlin", "E6", "LOC"))
+    val trie = Trie(aliases.map(_.surface))
+    val dict = aliases.map(r => r.surface -> r.label).toMap
+    val fast = new LexiconCrfTagger(trie, dict, Transcripts.tagSet)
+    val slow = new LexiconCrfTagger(trie, dict, Transcripts.tagSet)
+    slow.disableDirect = true // every turn takes the full Viterbi decode
+    val words = aliases.map(_.surface).toIndexedSeq
+    val rnd = new scala.util.Random(777)
+    val texts = Seq("", "x", "xy", "x y x", "Acme", "Acme Corp", "AcmeAcme Corp",
+      "Berlin x Berlin", "Acme Corp Berlin", "me Co") ++
+      (1 to 300).map { _ =>
+        val sb = new StringBuilder
+        (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+          rnd.nextInt(4) match {
+            case 0 | 1 => sb.append(words(rnd.nextInt(words.length)))
+            case 2 => sb.append((0 until rnd.nextInt(5)).map(_ =>
+              ('a' + rnd.nextInt(26)).toChar).mkString)
+            case _ => sb.append(' ')
+          }
+        }
+        sb.result()
+      }
+    texts.foreach { t =>
+      assert(fast.spanOne(t) == slow.spanOne(t), s"spans diverged on: '$t'")
+      assert(fast.tagOne(t).sameElements(slow.tagOne(t)), s"tags diverged on: '$t'")
+    }
+    // positive controls: the direct path must actually FIRE on clean text
+    // and must NOT fire on overlapping matches
+    val before = fast.directTurns.sum()
+    assert(fast.spanOne("Berlin") == List(graft.core.Span(0, 6, "LOC", "Berlin")))
+    assert(fast.directTurns.sum() == before + 1, "direct path must serve clean text")
+    fast.spanOne("Acme Corp") // "Acme" ⊂ "Acme Corp" → conflict → Viterbi
+    assert(fast.directTurns.sum() == before + 1, "overlap must take the Viterbi path")
+    assert(slow.directTurns.sum() == 0, "disableDirect must force Viterbi always")
+  }
+
   test("property: spanOne ≡ getEntities(tagOne) on random alias/noise mixtures") {
     val aliases = Transcripts.aliasRows
     val tagger = new LexiconCrfTagger(Trie(aliases.map(_.surface)),
