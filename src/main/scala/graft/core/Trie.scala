@@ -125,14 +125,16 @@ final class Trie(useSingle: Boolean = true) extends Serializable {
   }
 
   def search(word: String): Boolean = {
-    var ptr = root
-    var k = 0
-    while (k < word.length) {
+    if (word.isEmpty) return root.isWord
+    // first step through the char-indexed root array (triggers the one-time
+    // freeze; root.child(c) ≡ rootChild(c) by construction)
+    var ptr = rootChild(word.charAt(0))
+    var k = 1
+    while (ptr != null && k < word.length) {
       ptr = ptr.child(word.charAt(k))
-      if (ptr == null) return false
       k += 1
     }
-    ptr.isWord
+    ptr != null && ptr.isWord
   }
 
   /** All lexicon words that are prefixes of `sent` starting at `from`
@@ -143,21 +145,22 @@ final class Trie(useSingle: Boolean = true) extends Serializable {
     */
   def enumerateMatch(sent: CharSequence, from: Int): List[String] = {
     var matched: List[String] = Nil
-    var ptr = root
-    var i = 0
     val n = sent.length - from
-    var continue = true
-    while (continue && i < n) {
-      if (i > maxDepth) continue = false
-      else {
-        ptr = ptr.child(sent.charAt(from + i))
-        if (ptr == null) continue = false
-        else {
-          if (i >= minLen && ptr.isWord)
-            matched = ptr.word :: matched // dictionary-owned string, no substring alloc
-          i += 1
-        }
-      }
+    if (n <= 0 || maxDepth < 0) return Nil
+    // first step through the char-indexed root array (triggers the one-time
+    // freeze; root.child(c) ≡ rootChild(c), and the i=0 `i > maxDepth` cut
+    // can only fire on an empty trie, where maxDepth = 0 and the root array
+    // is all null — same result)
+    var ptr = rootChild(sent.charAt(from))
+    var i = 0
+    while (ptr != null) {
+      if (i >= minLen && ptr.isWord)
+        matched = ptr.word :: matched // dictionary-owned string, no substring alloc
+      i += 1
+      // same cut order as before: depth limit checked before the child
+      // lookup at depth i
+      ptr = if (i < n && i <= maxDepth) ptr.child(sent.charAt(from + i))
+            else null
     }
     val res = matched.reverse
     res match {
