@@ -210,6 +210,14 @@ object Triples {
       .otherwise(raise_error(concat(
         lit(s"Triples.runEncoded: start outside [0, $MaxPackedStart) in "),
         col("conv_id"))).cast("int"))
+    // same loud-failure rule for turn_idx: the sorted-exchange variant packs
+    // (chunk, turn) into one long whose order is only (chunk asc, turn asc)
+    // for NON-NEGATIVE turns, so a corrupt negative index must abort, not
+    // silently mis-sort
+    val turnChecked = when(col("turn_idx") >= 0, col("turn_idx"))
+      .otherwise(raise_error(concat(
+        lit("Triples.runEncoded: negative turn_idx in "),
+        col("conv_id"))).cast("int"))
     val lbChecked = coalesce(try_element_at(labelMap, col("label")),
       raise_error(concat(lit("Triples.runEncoded: label not in dict: "),
         col("label"))).cast("int"))
@@ -219,7 +227,7 @@ object Triples {
     canon
       .filter(col("canonical_id").isNotNull)
       .join(broadcast(eidDf), col("canonical_id") === col("_can"), "left")
-      .select(convKey.as("_cid"), col("turn_idx"),
+      .select(convKey.as("_cid"), turnChecked.as("turn_idx"),
         (shiftleft(startChecked.cast("long"), 40) +
           shiftleft(lbChecked.cast("long"), 32) +
           eidChecked.cast("long")).as("_m"))
@@ -321,47 +329,54 @@ object Triples {
     require(chunkTurns >= 2, s"chunkTurns must be ≥ 2, got $chunkTurns")
     val spark = canon.sparkSession
     import spark.implicits._
-    val chunk = floor(col("turn_idx") / chunkTurns).cast("int")
+    // (chunk, turn) pack into ONE long `_ct` — both non-negative (turn_idx
+    // guarded loudly in packedMentions), so ascending `_ct` order is exactly
+    // (chunk asc, turn asc): one fewer sort column and 8 fewer bytes per
+    // UnsafeRow through the dominant exchange. The walker unpacks with
+    // `>>> 32` / `.toInt`.
+    val chunk = floor(col("turn_idx") / chunkTurns).cast("long")
+    val ct = shiftleft(chunk, 32) + col("turn_idx")
+    val ctNext = shiftleft(chunk + 1, 32) + col("turn_idx") // overlap copy
     val inOverlap = pmod(col("turn_idx"), lit(chunkTurns)) === chunkTurns - 1
     val dup = packedMentions(canon, dict, convCodec)
-      .withColumn("_chunk", explode(when(inOverlap, array(chunk, chunk + 1))
-        .otherwise(array(chunk))))
-      .select(col("_cid"), col("_chunk"), col("turn_idx"), col("_m"))
-      .toDF("_1", "_2", "_3", "_4")
+      .withColumn("_ct", explode(when(inOverlap, array(ct, ctNext))
+        .otherwise(array(ct))))
+      .select(col("_cid"), col("_ct"), col("_m"))
+      .toDF("_1", "_2", "_3")
     val bcEnts = spark.sparkContext.broadcast(dict.entities)
     val perB = dict.rankOfLabel("PER")
     val orgB = dict.rankOfLabel("ORG")
     val locB = dict.rankOfLabel("LOC")
     convCodec match {
       case Some(cc) =>
-        dup.as[(Long, Int, Int, Long)]
-          .repartition(col("_1"), col("_2"))
-          .sortWithinPartitions("_1", "_2", "_3", "_4")
+        dup.as[(Long, Long, Long)]
+          .repartition(col("_1"), shiftright(col("_2"), 32))
+          .sortWithinPartitions("_1", "_2", "_3")
           .mapPartitions(sortedWalker[Long](cc.decode, chunkTurns, bcEnts,
             perB, orgB, locB))
       case None =>
-        dup.as[(String, Int, Int, Long)]
-          .repartition(col("_1"), col("_2"))
-          .sortWithinPartitions("_1", "_2", "_3", "_4")
+        dup.as[(String, Long, Long)]
+          .repartition(col("_1"), shiftright(col("_2"), 32))
+          .sortWithinPartitions("_1", "_2", "_3")
           .mapPartitions(sortedWalker[String](identity, chunkTurns, bcEnts,
             perB, orgB, locB))
     }
   }
 
   /** The per-partition walker behind `runEncodedSorted`: input rows are
-    * (conv key, chunk, turn_idx, packed mention), sorted exactly that way,
-    * with every (key, chunk) group wholly inside this partition (hash
-    * repartition). Streams one turn at a time — accumulate the turn's
-    * mentions in a growable scratch array, then on turn change emit its
-    * triples via `emitTurnRules` (skipped for context copies) and roll the
-    * array into the lag slot (swap, no allocation). Lag resets on every
-    * (key, chunk) change, so context never leaks across conversations or
-    * chunks.
+    * (conv key, packed (chunk<<32 | turn), packed mention), sorted exactly
+    * that way, with every (key, chunk) group wholly inside this partition
+    * (hash repartition on (key, chunk)). Streams one turn at a time —
+    * accumulate the turn's mentions in a growable scratch array, then on
+    * turn change emit its triples via `emitTurnRules` (skipped for context
+    * copies) and roll the array into the lag slot (swap, no allocation).
+    * Lag resets on every (key, chunk) change — high 32 bits of `_2` — so
+    * context never leaks across conversations or chunks.
     */
   private def sortedWalker[K](decode: K => String, chunkTurns: Int,
       bcEnts: org.apache.spark.broadcast.Broadcast[Array[String]],
       perB: Int, orgB: Int, locB: Int)
-      : Iterator[(K, Int, Int, Long)] => Iterator[Triple] = { it =>
+      : Iterator[(K, Long, Long)] => Iterator[Triple] = { it =>
     val ents = bcEnts.value
     val dedup = new PairDedup
     new Iterator[Triple] {
@@ -374,8 +389,7 @@ object Triples {
       private var lastTurn = -2
       private var lastValid = false
       private var curK: K = _
-      private var curChunk = 0
-      private var curTurn = 0
+      private var curCt = 0L // packed (chunk, turn) of the accumulating turn
       private var haveCur = false
       private var convId: String = null
 
@@ -387,8 +401,9 @@ object Triples {
       // finish the accumulated turn: emit unless it is a context copy, then
       // roll it into the lag slot (array swap, no allocation)
       private def flushTurn(): Unit = {
+        val curTurn = curCt.toInt // low 32 bits; turn_idx ≥ 0 enforced
         val adjacent = lastValid && lastTurn == curTurn - 1
-        if (curTurn / chunkTurns == curChunk)
+        if (curTurn / chunkTurns == (curCt >>> 32).toInt)
           emitTurnRules(curArr, curLen,
             if (adjacent) lastArr else EmptyLongs, if (adjacent) lastLen else 0,
             convId, curTurn, ents, perB, orgB, locB, dedup, out)
@@ -405,22 +420,21 @@ object Triples {
           } else {
             val r = it.next()
             if (!haveCur) {
-              curK = r._1; curChunk = r._2; curTurn = r._3
+              curK = r._1; curCt = r._2
               convId = decode(r._1); lastValid = false
               haveCur = true
-              append(r._4)
-            } else if (r._1 == curK && r._2 == curChunk && r._3 == curTurn) {
-              append(r._4)
+              append(r._3)
+            } else if (r._2 == curCt && r._1 == curK) {
+              append(r._3)
             } else {
               out.clear(); outIdx = 0
               flushTurn()
-              if (r._1 != curK || r._2 != curChunk) {
+              if (r._1 != curK || (r._2 >>> 32) != (curCt >>> 32)) {
                 lastValid = false // lag never crosses a (key, chunk) edge
                 if (r._1 != curK) { convId = decode(r._1); curK = r._1 }
-                curChunk = r._2
               }
-              curTurn = r._3
-              append(r._4)
+              curCt = r._2
+              append(r._3)
             }
           }
         }

@@ -135,6 +135,20 @@ class PipelineSpec extends SparkSpecBase {
     assert(msgs(e).exists(_.contains("start outside")), s"got: ${msgs(e)}")
   }
 
+  test("encoded path fails LOUDLY on a negative turn_idx (corrupt upstream row)") {
+    import spark.implicits._
+    // the sorted exchange packs (chunk, turn) into one long whose order is
+    // (chunk asc, turn asc) only for non-negative turns — a corrupt negative
+    // index must abort, not silently mis-sort the conversation
+    val canon = Seq(
+      CanonMention("c1", -3, 0, 3, "PER", "x", "PER00", "PER00")).toDS()
+    val dict = TripleDict(Seq("PER"), Seq("PER00"))
+    val e = intercept[Exception] {
+      Triples.runEncodedSorted(canon, dict).collect()
+    }
+    assert(msgs(e).exists(_.contains("negative turn_idx")), s"got: ${msgs(e)}")
+  }
+
   test("property: chunked ≡ window ≡ join on random sparse corpora × random chunk sizes") {
     import spark.implicits._
     val rnd = new scala.util.Random(1337)
