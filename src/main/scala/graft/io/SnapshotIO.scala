@@ -74,15 +74,17 @@ object SnapshotIO {
     * against a concurrent ManifestPointer writer's in-flight `data-*`
     * child: that peer would be holding this lock.
     */
+  private def lockContent(holderId: String): Array[Byte] =
+    s"""{"holder":"$holderId","acquired_at":"${java.time.Instant.now()}"}"""
+      .getBytes(StandardCharsets.UTF_8)
+
   private def withLock[A](lock: Path, onCommitted: => Option[A])(body: => A): A = {
     Files.createDirectories(lock.getParent)
     val holderId = java.util.UUID.randomUUID().toString
     var acquired = false
     while (!acquired) {
       try {
-        Files.write(lock,
-          s"""{"holder":"$holderId","acquired_at":"${java.time.Instant.now()}"}"""
-            .getBytes(StandardCharsets.UTF_8),
+        Files.write(lock, lockContent(holderId),
           StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
         acquired = true
       } catch {
@@ -113,12 +115,33 @@ object SnapshotIO {
           }
       }
     }
+    // The heartbeat must survive TRANSIENT touch failures: if it died on the
+    // first IOException (a hiccuping NFS, a momentary ENOENT from an external
+    // sweep), a stage computing longer than OrphanTtlMs would age the lock
+    // stale while its holder is alive — a peer would steal it and two writers
+    // would run the destructive commit concurrently, the exact race this lock
+    // enforces against (ADVICE r5 medium). So: IOException is caught INSIDE
+    // the loop (retry next tick); a VANISHED lock file is re-created with this
+    // holder's content via the same atomic CREATE_NEW (if a peer already took
+    // the path, the create fails and we just keep ticking — touching the
+    // peer's file only refreshes its mtime, which is harmless); only
+    // InterruptedException (the holder's own release) exits the loop.
     val heartbeat = new Thread(() => {
-      try while (true) {
-        Thread.sleep(OrphanTtlMs / 4)
-        Files.setLastModifiedTime(lock,
-          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-      } catch { case _: InterruptedException | _: java.io.IOException => () }
+      var running = true
+      while (running) {
+        try {
+          Thread.sleep(OrphanTtlMs / 4)
+          try Files.setLastModifiedTime(lock,
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          catch {
+            case _: java.nio.file.NoSuchFileException =>
+              try Files.write(lock, lockContent(holderId),
+                StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+              catch { case _: java.io.IOException => () } // peer owns the path
+            case _: java.io.IOException => () // transient — retry next tick
+          }
+        } catch { case _: InterruptedException => running = false }
+      }
     }, s"snapshot-lock-heartbeat-${lock.getFileName}")
     heartbeat.setDaemon(true)
     heartbeat.start()
