@@ -19,6 +19,15 @@ import scala.collection.mutable
   * vocabulary and shipped to executors via `SparkContext.broadcast`; at
   * 1.5M words it serializes to tens of MB, well under broadcast limits.
   * Matching happens inside `mapPartitions`, never per-row on the driver.
+  *
+  * ==Build-then-freeze contract (deviation from lexicon_tree.py)==
+  * The FIRST query (`search` / `enumerateMatch` / `rootChild` / any walk)
+  * freezes the root index and per-node child views; `insert` AFTER that
+  * throws `IllegalStateException` rather than leave a stale root index that
+  * would silently miss the new word's first char. The reference allows
+  * interleaved insert/query; this class trades that for the frozen walk
+  * arrays the detect hot path needs. Build the trie fully (e.g. via
+  * `Trie(words)`) before first use — every in-repo call site does.
   */
 final class Trie(useSingle: Boolean = true) extends Serializable {
 
@@ -72,7 +81,28 @@ final class Trie(useSingle: Boolean = true) extends Serializable {
     * fully before first use (the detect stage always does: the trie is
     * constructed on the driver, then broadcast).
     */
-  @transient private lazy val rootIndex: Array[Node] = {
+  /** Frozen root probe for hot walkers: `bits` is an 8 KB presence bitset
+    * (65536 bits — fully L1-resident), `nodes` the 512 KB char-indexed ref
+    * array. The detect walk probes the root once per TEXT POSITION and the
+    * dominant case on natural-language corpora is a MISS: answering misses
+    * from the bitset keeps the hot probe inside L1 instead of striding the
+    * ref array (only hits pay the `nodes` load). Final fields → JMM-safe
+    * unsynchronized publication, same contract as [[FrozenChildren]].
+    */
+  final class RootView private[Trie] (private val bits: Array[Long],
+                                      private val nodes: Array[Node],
+                                      private val lo: Char, private val hi: Char) {
+    // three-tier probe: [lo,hi] range gate (two register compares, no memory
+    // load — on a natural-language corpus with a capitalized-entity lexicon
+    // most positions die here), then the bitset, then the ref array. A trie
+    // whose first chars span the whole alphabet degrades gracefully: the
+    // gate passes everything and the bitset still bounds the miss cost.
+    @inline def child(c: Char): Node =
+      if (c < lo || c > hi || ((bits(c >>> 6) >>> (c & 63)) & 1L) == 0L) null
+      else nodes(c)
+  }
+
+  @transient private lazy val rootIndex: RootView = {
     // freeze every node's child map into parallel sorted arrays while here —
     // the lazy val's one-time init (synchronized, safely published) makes
     // the whole-trie freeze thread-safe for the task threads that share the
@@ -85,12 +115,25 @@ final class Trie(useSingle: Boolean = true) extends Serializable {
     }
     freeze(root)
     val arr = new Array[Node](Char.MaxValue + 1)
-    if (root.children != null) root.children.foreach { case (c, n) => arr(c) = n }
+    val bits = new Array[Long]((Char.MaxValue + 1) / 64)
+    var lo = Char.MaxValue
+    var hi = Char.MinValue
+    if (root.children != null) root.children.foreach { case (c, n) =>
+      arr(c) = n
+      bits(c >>> 6) |= 1L << (c & 63)
+      if (c < lo) lo = c
+      if (c > hi) hi = c
+    }
     rootIndexBuilt = true
-    arr
+    new RootView(bits, arr, lo, hi) // empty trie: lo > hi gates everything out
   }
   @transient private var rootIndexBuilt = false
-  def rootChild(c: Char): Node = rootIndex(c)
+  /** The frozen root view (triggers the one-time freeze) — hot walkers
+    * hoist this once per partition/turn instead of re-entering the lazy-val
+    * accessor per char.
+    */
+  def rootView: RootView = rootIndex
+  def rootChild(c: Char): Node = rootIndex.child(c)
 
   var maxDepth: Int = 0
   /** min match index: 0 keeps single-char words, 1 drops them (lexicon_tree.py:26-29). */

@@ -121,14 +121,17 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
       // conflict-free turns: the spans ARE the collected words (proof in
       // decodeInto). Surfaces reuse the dictionary-owned word string — by
       // trie-match construction it equals text.substring(start, end).
-      val out = scala.collection.mutable.ListBuffer.empty[Span]
-      var w = 0
-      while (w < s.nWords) {
+      // Built by reverse prepend: the words are collected in ascending
+      // start order, so prepending from the back yields the same list as
+      // the old ListBuffer append — without the buffer or the toList copy.
+      var out: List[Span] = Nil
+      var w = s.nWords - 1
+      while (w >= 0) {
         val st = s.starts(w); val word = s.words(w)
-        out += Span(st, st + word.length, typeArr(s.rows(w)(0)), word)
-        w += 1
+        out = Span(st, st + word.length, typeArr(s.rows(w)(0)), word) :: out
+        w -= 1
       }
-      return out.toList
+      return out
     }
     val path = s.vit.path
     val out = scala.collection.mutable.ListBuffer.empty[Span]
@@ -233,17 +236,23 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
     s.vit.ensure(n)
     s.nWords = 0
     s.direct = false
+    // hoisted per turn: the root view (bitset-gated probe — the dominant
+    // per-char op) and the trie bounds, so the position loop re-enters no
+    // lazy-val accessor and loads no trie field per char
+    val rv = trie.rootView
+    val minLen = trie.minLen
+    val maxDepth = trie.maxDepth
     var conflictFree = true
     var maxEnd = 0 // exclusive end of the rightmost voted word so far —
     // words arrive in ascending start order, so `start < maxEnd` ⇔ overlap
     var i = 0
     while (i < n) {
-      var ptr = trie.rootChild(text.charAt(i))
+      var ptr = rv.child(text.charAt(i))
       var k = 0 // depth: ptr is the node after consuming text[i .. i+k]
       var nMatches = 0
       var soloSingle: String = null
       while (ptr != null) {
-        if (k >= trie.minLen && ptr.isWord) {
+        if (k >= minLen && ptr.isWord) {
           nMatches += 1
           if (k == 0) soloSingle = ptr.word // defer: demoted unless solo
           else {
@@ -259,7 +268,7 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
         k += 1
         // same cut order as the reference walk: depth limit checked before
         // the child lookup at depth k
-        ptr = if (k < n - i && k <= trie.maxDepth) ptr.child(text.charAt(i + k))
+        ptr = if (k < n - i && k <= maxDepth) ptr.child(text.charAt(i + k))
               else null
       }
       if (soloSingle != null && nMatches == 1) {
