@@ -35,7 +35,12 @@ object Pipeline {
   private[graft] val transcriptsConvCodec: Triples.ConvCodec = Triples.ConvCodec(
     encode = c => when(c.rlike("^conv_(\\d{8}|[1-9]\\d{8,17})$"),
       substring(c, 6, 18).cast("long")),
-    decode = v => f"conv_$v%08d")
+    decode = v => f"conv_$v%08d",
+    // the synthetic corpus is keyed by a dense sequence id — every bench
+    // scale fits 32 bits, so the sorted exchange packs (key, chunk, turn)
+    // into one long (2-column rows). A ≥ 2^32 key aborts LOUDLY (verified
+    // per row in Triples), never aliases.
+    fits32 = true)
 
   /** Lazily-built pipeline stages. Nothing runs at construction time: the
     * connected-components loop (which needs Spark actions of its own) only

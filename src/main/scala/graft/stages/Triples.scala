@@ -178,8 +178,20 @@ object Triples {
     * `decode` runs in the emit flatMap and must invert `encode` on every
     * conv_id in the table (equivalence property-tested for the synthetic
     * format). An encode that nulls (unparsable id) fails LOUDLY.
+    *
+    * @param fits32 declare that `encode` yields values in [0, 2^32) on this
+    *        corpus (< 4.3 B conversations). The sorted exchange then packs
+    *        (convKey, chunk, turn) into ONE long — a 3-column → 2-column row
+    *        cut (8 B/row off the UnsafeRow through the dominant exchange).
+    *        The declaration is VERIFIED per row (raise_error on an encode
+    *        ≥ 2^32): a corpus that outgrows 32-bit keys aborts loudly so the
+    *        operator flips this back to the 64-bit layout — it can never
+    *        silently alias two conversations. A true 10^12-turn corpus
+    *        (~10^10–10^11 conversations) still fits; leave false only past
+    *        ~4 B conversations.
     */
-  final case class ConvCodec(encode: Column => Column, decode: Long => String)
+  final case class ConvCodec(encode: Column => Column, decode: Long => String,
+                             fits32: Boolean = false)
     extends Serializable
 
   /** The dictionary-encoded mention relation both encoded paths exchange:
@@ -301,143 +313,427 @@ object Triples {
     emitPacked(withPrev, dict, getConv)(spark)
   }
 
+  // bit layout of the single-long (chunk, turn-in-chunk) positions used by
+  // the Packed32 and Hashed sorted exchanges: [hi:32 | chunk:15 | tic:17].
+  // tic = turn − chunk·chunkTurns + depth, so context copies (tic < depth)
+  // sort BEFORE their chunk's real rows; chunk < 2^15 bounds one
+  // conversation at chunkTurns·32768 turns (2^31 at the default chunking —
+  // i.e. any Int turn_idx), enforced loudly per row.
+  private[graft] val TicBits = 17
+  private[graft] val ChunkBits = 15
+  private val TicMask = (1L << TicBits) - 1
+  private val ChunkMask = (1L << ChunkBits) - 1
+
   /** Sorted-exchange variant of `runEncoded`: the same ONE hash exchange on
     * (conv key, chunk), but the per-turn grouping, the turn ordering AND the
-    * k=1 cross-turn context all come from a single `sortWithinPartitions`
+    * depth-k cross-turn context all come from a single `sortWithinPartitions`
     * pass consumed by a streaming per-partition walker — no collect_list
     * buffers, no window lag columns, no `_ctx` byte on the wire, and no
     * per-turn `Arrays.sort` (the partition sort already delivers mentions
     * in packed order; bit 63 is always 0, so the signed long sort is the
     * unsigned / UTF-8-rank one). Context-ness is DERIVED in the walker
-    * (`floor(turn/chunkTurns) != chunk`) instead of shipped. Output is
-    * identical to `runEncoded`/`run` (equivalence-tested in PipelineSpec);
-    * per-task memory is O(one turn), strictly less than the collect_list
-    * path's per-group buffers, and the post-shuffle sort is Spark's
-    * spill-safe external sorter — arbitrarily large (key, chunk) groups
-    * degrade to disk, never OOM. Measured fastest of the three exchange
-    * shapes at 18.2M turns / 32c (min 8.54 s vs 11.54 s collect_list/window
-    * and 12.02 s pre-pack, two A/B sessions — graft.ExchangeAB, BENCH.md
+    * instead of shipped. Output is identical to `runEncoded`/`run`
+    * (equivalence-tested in PipelineSpec); per-task memory is O(one turn)
+    * plus a depth-k lag ring, strictly less than the collect_list path's
+    * per-group buffers, and the post-shuffle sort is Spark's spill-safe
+    * external sorter — arbitrarily large (key, chunk) groups degrade to
+    * disk, never OOM. Measured fastest of the three exchange shapes at
+    * 18.2M turns / 32c (min 8.54 s vs 11.54 s collect_list/window and
+    * 12.02 s pre-pack, two A/B sessions — graft.ExchangeAB, BENCH.md
     * §Exchange), so this is the `Pipeline` default since round 5.
     *
-    * Deliberately k=1-only (the deepest rule in the set): a hypothetical
-    * deeper cross-turn rule should use `runEncoded`, whose
-    * `chunkedWithContext` machinery generalizes to overlap depth k.
+    * Wire layouts by conv-key mode (UnsafeRow fixed bytes per mention row,
+    * excluding the 8 B null bitmap word):
+    *   - `ConvCodec(fits32 = true)`: (convKey32|chunk|tic packed long,
+    *     mention long) — 2 columns, 16 B (round 6);
+    *   - `ConvCodec` 64-bit: (key long, chunk<<32|turn long, mention long) —
+    *     3 columns, 24 B;
+    *   - no codec: (conv_id string, chunk<<32|turn, mention) — the exact
+    *     string path; see `runEncodedSortedHashed` for the dictionary-free
+    *     compressed-key alternative on UUID-keyed corpora.
+    *
+    * Cross-turn rule depth is the rule set's `depth` (the default rule set
+    * is k=1, the deepest rule in the fixed pattern set); deeper rule sets
+    * plug in via `runEncodedSortedRules` — the walker keeps a depth-k lag
+    * ring (VERDICT r5 item 5).
     */
   def runEncodedSorted(canon: Dataset[CanonMention], dict: TripleDict,
                        chunkTurns: Int = DefaultChunkTurns,
-                       convCodec: Option[ConvCodec] = None): Dataset[Triple] = {
-    require(chunkTurns >= 2, s"chunkTurns must be ≥ 2, got $chunkTurns")
+                       convCodec: Option[ConvCodec] = None): Dataset[Triple] =
+    runEncodedSortedRules(canon, dict, chunkTurns, convCodec, defaultRules(dict))
+
+  /** Dictionary-free sorted exchange for corpora whose conv ids are NOT
+    * numeric-derivable (UUIDs, opaque strings): instead of shipping the id
+    * string on every mention row, the exchange carries a 96-bit hash of it
+    * — xxhash64 plus the high 32 bits of an independently-seeded second
+    * xxhash64, packed as (k1 long, [k2hi:32|chunk:15|tic:17] long, mention
+    * long) — and the STRING rides a fourth, almost-always-null column
+    * exactly once per map-side (conv, chunk) run (`markCarriers`), which
+    * under the natural turn-contiguous layout is once per conversation per
+    * chunk per input partition. The walker recovers the id from the
+    * carrier; turns that sort before their group's first carrier (possible
+    * only under adversarial input layouts) buffer their triples until it
+    * arrives — bounded by one chunk.
+    *
+    * Correctness is NOT probabilistic-silent: 96 bits make an undetected
+    * wrong-group merge require a (k1, k2hi, chunk) collision between two
+    * conversations (expected ≈ 6e-6 such pairs at 10^12 conversations), and
+    * even that case is caught LOUDLY — every carrier is validated against
+    * the group's id and a mismatch aborts the job with a clear message
+    * (rerun with the exact string path). Equivalence to `run` on UUID
+    * corpora, including a pre-shuffled adversarial layout, is tested in
+    * PipelineSpec.
+    */
+  def runEncodedSortedHashed(canon: Dataset[CanonMention], dict: TripleDict,
+                             chunkTurns: Int = DefaultChunkTurns): Dataset[Triple] =
+    runEncodedSortedHashedRules(canon, dict, chunkTurns, defaultRules(dict))
+
+  /** The fixed pattern-rule set as a pluggable walker rule body (k = 1). */
+  private[graft] def defaultRules(dict: TripleDict): PackedRules =
+    new DefaultPackedRules(dict.rankOfLabel("PER"), dict.rankOfLabel("ORG"),
+      dict.rankOfLabel("LOC"))
+
+  private[graft] def runEncodedSortedRules(canon: Dataset[CanonMention],
+      dict: TripleDict, chunkTurns: Int, convCodec: Option[ConvCodec],
+      rules: PackedRules): Dataset[Triple] = {
+    val k = rules.depth
+    require(k >= 1 && chunkTurns > k,
+      s"chunk size must exceed rule depth: chunkTurns=$chunkTurns depth=$k")
     val spark = canon.sparkSession
     import spark.implicits._
-    // (chunk, turn) pack into ONE long `_ct` — both non-negative (turn_idx
-    // guarded loudly in packedMentions), so ascending `_ct` order is exactly
-    // (chunk asc, turn asc): one fewer sort column and 8 fewer bytes per
-    // UnsafeRow through the dominant exchange. The walker unpacks with
-    // `>>> 32` / `.toInt`.
-    val chunk = floor(col("turn_idx") / chunkTurns).cast("long")
-    val ct = shiftleft(chunk, 32) + col("turn_idx")
-    val ctNext = shiftleft(chunk + 1, 32) + col("turn_idx") // overlap copy
-    val inOverlap = pmod(col("turn_idx"), lit(chunkTurns)) === chunkTurns - 1
-    val dup = packedMentions(canon, dict, convCodec)
-      .withColumn("_ct", explode(when(inOverlap, array(ct, ctNext))
-        .otherwise(array(ct))))
-      .select(col("_cid"), col("_ct"), col("_m"))
-      .toDF("_1", "_2", "_3")
     val bcEnts = spark.sparkContext.broadcast(dict.entities)
-    val perB = dict.rankOfLabel("PER")
-    val orgB = dict.rankOfLabel("ORG")
-    val locB = dict.rankOfLabel("LOC")
+
     convCodec match {
+      case Some(cc) if cc.fits32 =>
+        require(chunkTurns.toLong + k <= (1L << TicBits),
+          s"chunkTurns + depth must fit $TicBits tic bits: $chunkTurns + $k")
+        val pm = packedMentions(canon, dict, convCodec)
+        // fits32 is VERIFIED, not trusted: a key ≥ 2^32 would alias another
+        // conversation's packed position — abort instead
+        val cid32 = when(col("_cid").between(0L, (1L << 32) - 1), col("_cid"))
+          .otherwise(raise_error(concat(
+            lit("Triples: ConvCodec.fits32 violated (conv key ≥ 2^32): "),
+            col("_cid").cast("string"))).cast("long"))
+        // chunk must fit its 15 bits: turn < chunkTurns·2^15 (any Int
+        // turn_idx at the default chunking; loud on tiny test chunk sizes)
+        val turnOk = when(col("turn_idx") < lit(chunkTurns.toLong << ChunkBits),
+            col("turn_idx"))
+          .otherwise(raise_error(concat(
+            lit(s"Triples: turn_idx ≥ chunkTurns·2^$ChunkBits in conv key "),
+            col("_cid").cast("string"))).cast("int"))
+        val chunk = floor(turnOk / chunkTurns).cast("long")
+        val p = shiftleft(cid32, 32) + shiftleft(chunk, TicBits) +
+          (turnOk - chunk * chunkTurns + k)
+        val pNext = shiftleft(cid32, 32) + shiftleft(chunk + 1, TicBits) +
+          (turnOk - (chunk + 1) * chunkTurns + k)
+        val inOverlap = pmod(turnOk, lit(chunkTurns)) >= chunkTurns - k
+        val dup = pm
+          .withColumn("_p", explode(when(inOverlap, array(p, pNext))
+            .otherwise(array(p))))
+          .select(col("_p"), col("_m"))
+          .toDF("_1", "_2")
+        dup.as[(Long, Long)]
+          .repartition(shiftrightunsigned(col("_1"), TicBits))
+          .sortWithinPartitions("_1", "_2")
+          .mapPartitions(walk(new Packed32Layout(cc.decode, chunkTurns, k),
+            rules, bcEnts))
+
       case Some(cc) =>
+        val dup = ctDup(packedMentions(canon, dict, convCodec), chunkTurns, k)
         dup.as[(Long, Long, Long)]
           .repartition(col("_1"), shiftright(col("_2"), 32))
           .sortWithinPartitions("_1", "_2", "_3")
-          .mapPartitions(sortedWalker[Long](cc.decode, chunkTurns, bcEnts,
-            perB, orgB, locB))
+          .mapPartitions(walk(new Codec64Layout(cc.decode, chunkTurns),
+            rules, bcEnts))
+
       case None =>
+        val dup = ctDup(packedMentions(canon, dict, None), chunkTurns, k)
         dup.as[(String, Long, Long)]
           .repartition(col("_1"), shiftright(col("_2"), 32))
           .sortWithinPartitions("_1", "_2", "_3")
-          .mapPartitions(sortedWalker[String](identity, chunkTurns, bcEnts,
-            perB, orgB, locB))
+          .mapPartitions(walk(new StringKeyLayout(chunkTurns), rules, bcEnts))
     }
   }
 
-  /** The per-partition walker behind `runEncodedSorted`: input rows are
-    * (conv key, packed (chunk<<32 | turn), packed mention), sorted exactly
-    * that way, with every (key, chunk) group wholly inside this partition
-    * (hash repartition on (key, chunk)). Streams one turn at a time —
-    * accumulate the turn's mentions in a growable scratch array, then on
-    * turn change emit its triples via `emitTurnRules` (skipped for context
-    * copies) and roll the array into the lag slot (swap, no allocation).
-    * Lag resets on every (key, chunk) change — high 32 bits of `_2` — so
-    * context never leaks across conversations or chunks.
+  /** (chunk<<32 | turn) packing + depth-k overlap duplication shared by the
+    * Codec64 and string-key sorted paths: both halves non-negative (turn_idx
+    * guarded loudly in packedMentions), so ascending `_ct` order is exactly
+    * (chunk asc, turn asc) — one fewer sort column and 8 fewer bytes per
+    * UnsafeRow than separate columns. The last k turns of each chunk are
+    * also emitted into the next chunk as context copies.
     */
-  private def sortedWalker[K](decode: K => String, chunkTurns: Int,
-      bcEnts: org.apache.spark.broadcast.Broadcast[Array[String]],
-      perB: Int, orgB: Int, locB: Int)
-      : Iterator[(K, Long, Long)] => Iterator[Triple] = { it =>
+  private def ctDup(pm: DataFrame, chunkTurns: Int, k: Int): DataFrame = {
+    val chunk = floor(col("turn_idx") / chunkTurns).cast("long")
+    val ct = shiftleft(chunk, 32) + col("turn_idx")
+    val ctNext = shiftleft(chunk + 1, 32) + col("turn_idx") // overlap copy
+    val inOverlap = pmod(col("turn_idx"), lit(chunkTurns)) >= chunkTurns - k
+    pm.withColumn("_ct", explode(when(inOverlap, array(ct, ctNext))
+        .otherwise(array(ct))))
+      .select(col("_cid"), col("_ct"), col("_m"))
+      .toDF("_1", "_2", "_3")
+  }
+
+  private[graft] def runEncodedSortedHashedRules(canon: Dataset[CanonMention],
+      dict: TripleDict, chunkTurns: Int, rules: PackedRules): Dataset[Triple] = {
+    val k = rules.depth
+    require(k >= 1 && chunkTurns > k,
+      s"chunk size must exceed rule depth: chunkTurns=$chunkTurns depth=$k")
+    require(chunkTurns.toLong + k <= (1L << TicBits),
+      s"chunkTurns + depth must fit $TicBits tic bits: $chunkTurns + $k")
+    val spark = canon.sparkSession
+    import spark.implicits._
+    val bcEnts = spark.sparkContext.broadcast(dict.entities)
+    val pm = packedMentions(canon, dict, None)
+    val turnOk = when(col("turn_idx") < lit(chunkTurns.toLong << ChunkBits),
+        col("turn_idx"))
+      .otherwise(raise_error(concat(
+        lit(s"Triples.runEncodedSortedHashed: turn_idx ≥ chunkTurns·2^$ChunkBits in "),
+        col("_cid"))).cast("int"))
+    // two independently-derived hashes of the conv id (a second input column
+    // changes the xxhash64 stream) — 96 bits of group identity on the wire
+    val hashed = pm.select(col("_cid"), turnOk.as("_t"), col("_m"),
+      xxhash64(col("_cid")).as("_k1"),
+      shiftrightunsigned(xxhash64(col("_cid"), lit(0x9e3779b97f4a7c15L)), 32)
+        .as("_k2hi"))
+    hashed.as[(String, Int, Long, Long, Long)]
+      .mapPartitions(markCarriers(chunkTurns, k))
+      .toDF("_1", "_2", "_3", "_4").as[(Long, Long, Long, String)]
+      .repartition(col("_1"), shiftrightunsigned(col("_2"), TicBits))
+      .sortWithinPartitions("_1", "_2", "_3")
+      .mapPartitions(walk(new HashedLayout(chunkTurns, k), rules, bcEnts))
+  }
+
+  /** Map-side carrier marking + overlap duplication for the hashed sorted
+    * exchange: a pure streaming pass (no buffering beyond one pending
+    * context copy) turning (conv_id, turn, mention, k1, k2) rows into
+    * (k1, [k2hi|chunk|tic], mention, carrier) rows, where `carrier` is the
+    * conv_id string on the FIRST row of each locally-contiguous
+    * (conv_id, chunk) run and null elsewhere. Every post-shuffle
+    * (k1, k2hi, chunk) group therefore holds ≥ 1 carrier from each input
+    * partition that feeds it — the invariant the walker's pending buffer
+    * relies on. An adversarially interleaved input degrades to every row a
+    * carrier (correct, just byte-heavier — exactly the string path).
+    */
+  private def markCarriers(m: Int, k: Int)
+      : Iterator[(String, Int, Long, Long, Long)] => Iterator[(Long, Long, Long, String)] = { it =>
+    new Iterator[(Long, Long, Long, String)] {
+      private var runCid: String = null
+      private var chunksSeen = new Array[Int](4) // chunks carried in this run
+      private var nChunks = 0
+      private var extra: (Long, Long, Long, String) = null
+      private def carrierFor(cid: String, chunk: Int): Boolean = {
+        if (cid != runCid) { runCid = cid; nChunks = 0 }
+        var i = 0
+        while (i < nChunks) { if (chunksSeen(i) == chunk) return false; i += 1 }
+        if (nChunks == chunksSeen.length)
+          chunksSeen = java.util.Arrays.copyOf(chunksSeen, nChunks * 2)
+        chunksSeen(nChunks) = chunk; nChunks += 1
+        true
+      }
+      def hasNext: Boolean = extra != null || it.hasNext
+      def next(): (Long, Long, Long, String) = {
+        if (extra != null) { val e = extra; extra = null; return e }
+        val (cid, t, men, k1, k2hi) = it.next()
+        val chunk = t / m
+        val hi = k2hi << 32
+        val p2 = hi | (chunk.toLong << TicBits) | (t - chunk.toLong * m + k)
+        val car1 = carrierFor(cid, chunk)
+        if (t % m >= m - k) {
+          val c2 = chunk + 1
+          val p2b = hi | (c2.toLong << TicBits) | (t - c2.toLong * m + k)
+          val car2 = carrierFor(cid, c2)
+          extra = (k1, p2b, men, if (car2) cid else null)
+        }
+        (k1, p2, men, if (car1) cid else null)
+      }
+    }
+  }
+
+  /** Row-shape adapter for the shared sorted walker. Rows arrive sorted so
+    * that all of one (conversation, chunk) group is contiguous, turns
+    * ascending within it with context copies first. Implementations must
+    * make `sameTurn` imply `sameGroup` imply `sameConv`.
+    */
+  private trait WalkerLayout[R] extends Serializable {
+    def sameGroup(a: R, b: R): Boolean
+    def sameConv(a: R, b: R): Boolean
+    def sameTurn(a: R, b: R): Boolean
+    def turnIdx(r: R): Int
+    def isContext(r: R): Boolean
+    def mention(r: R): Long
+    /** conversation id carried by this row — null on hashed non-carrier rows. */
+    def convId(r: R): String
+    /** true when only SOME rows carry the id (hashed layout): the walker
+      * then validates every carrier against the group's id (loud collision
+      * detection) and buffers pre-carrier turns.
+      */
+    def carriersSparse: Boolean
+  }
+
+  private final class Codec64Layout(decode: Long => String, chunkTurns: Int)
+      extends WalkerLayout[(Long, Long, Long)] {
+    def sameGroup(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
+      a._1 == b._1 && (a._2 >>> 32) == (b._2 >>> 32)
+    def sameConv(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean = a._1 == b._1
+    def sameTurn(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
+      a._1 == b._1 && a._2 == b._2
+    def turnIdx(r: (Long, Long, Long)): Int = r._2.toInt
+    def isContext(r: (Long, Long, Long)): Boolean =
+      r._2.toInt / chunkTurns != (r._2 >>> 32).toInt
+    def mention(r: (Long, Long, Long)): Long = r._3
+    def convId(r: (Long, Long, Long)): String = decode(r._1)
+    val carriersSparse = false
+  }
+
+  private final class StringKeyLayout(chunkTurns: Int)
+      extends WalkerLayout[(String, Long, Long)] {
+    def sameGroup(a: (String, Long, Long), b: (String, Long, Long)): Boolean =
+      (a._2 >>> 32) == (b._2 >>> 32) && a._1 == b._1
+    def sameConv(a: (String, Long, Long), b: (String, Long, Long)): Boolean =
+      a._1 == b._1
+    def sameTurn(a: (String, Long, Long), b: (String, Long, Long)): Boolean =
+      a._2 == b._2 && a._1 == b._1
+    def turnIdx(r: (String, Long, Long)): Int = r._2.toInt
+    def isContext(r: (String, Long, Long)): Boolean =
+      r._2.toInt / chunkTurns != (r._2 >>> 32).toInt
+    def mention(r: (String, Long, Long)): Long = r._3
+    def convId(r: (String, Long, Long)): String = r._1
+    val carriersSparse = false
+  }
+
+  private final class Packed32Layout(decode: Long => String, chunkTurns: Int,
+                                     k: Int) extends WalkerLayout[(Long, Long)] {
+    def sameGroup(a: (Long, Long), b: (Long, Long)): Boolean =
+      (a._1 >>> TicBits) == (b._1 >>> TicBits)
+    def sameConv(a: (Long, Long), b: (Long, Long)): Boolean =
+      (a._1 >>> 32) == (b._1 >>> 32)
+    def sameTurn(a: (Long, Long), b: (Long, Long)): Boolean = a._1 == b._1
+    def turnIdx(r: (Long, Long)): Int =
+      ((r._1 >>> TicBits) & ChunkMask).toInt * chunkTurns +
+        (r._1 & TicMask).toInt - k
+    def isContext(r: (Long, Long)): Boolean = (r._1 & TicMask) < k
+    def mention(r: (Long, Long)): Long = r._2
+    def convId(r: (Long, Long)): String = decode(r._1 >>> 32)
+    val carriersSparse = false
+  }
+
+  private final class HashedLayout(chunkTurns: Int, k: Int)
+      extends WalkerLayout[(Long, Long, Long, String)] {
+    def sameGroup(a: (Long, Long, Long, String), b: (Long, Long, Long, String)): Boolean =
+      a._1 == b._1 && (a._2 >>> TicBits) == (b._2 >>> TicBits)
+    def sameConv(a: (Long, Long, Long, String), b: (Long, Long, Long, String)): Boolean =
+      a._1 == b._1 && (a._2 >>> 32) == (b._2 >>> 32)
+    def sameTurn(a: (Long, Long, Long, String), b: (Long, Long, Long, String)): Boolean =
+      a._1 == b._1 && a._2 == b._2
+    def turnIdx(r: (Long, Long, Long, String)): Int =
+      ((r._2 >>> TicBits) & ChunkMask).toInt * chunkTurns +
+        (r._2 & TicMask).toInt - k
+    def isContext(r: (Long, Long, Long, String)): Boolean = (r._2 & TicMask) < k
+    def mention(r: (Long, Long, Long, String)): Long = r._3
+    def convId(r: (Long, Long, Long, String)): String = r._4
+    val carriersSparse = true
+  }
+
+  /** The per-partition streaming walker behind all sorted-exchange variants:
+    * accumulate one turn's mentions in a growable scratch array; on turn
+    * change emit its triples via the rule set (skipped for context copies)
+    * and roll the array into the depth-k lag ring (array swap, no
+    * allocation). The ring resets on every (conversation, chunk) edge, so
+    * context never leaks across conversations or chunks. For sparse-carrier
+    * layouts the walker additionally recovers the conversation id from
+    * carrier rows, validates every carrier against the group's id (loud
+    * hash-collision detection), and buffers turns that flush before the
+    * group's first carrier (adversarial layouts only; bounded by one
+    * chunk's triples — the markCarriers invariant guarantees a carrier per
+    * group).
+    */
+  private def walk[R](ly: WalkerLayout[R], rules: PackedRules,
+      bcEnts: org.apache.spark.broadcast.Broadcast[Array[String]])
+      : Iterator[R] => Iterator[Triple] = { it =>
     val ents = bcEnts.value
     val dedup = new PairDedup
     new Iterator[Triple] {
       private val out = new scala.collection.mutable.ArrayBuffer[Triple]()
       private var outIdx = 0
+      private val ring = new LagRing(rules.depth)
       private var curArr = new Array[Long](8)
       private var curLen = 0
-      private var lastArr = new Array[Long](8)
-      private var lastLen = 0
-      private var lastTurn = -2
-      private var lastValid = false
-      private var curK: K = _
-      private var curCt = 0L // packed (chunk, turn) of the accumulating turn
+      private var curRow: R = _
       private var haveCur = false
       private var convId: String = null
+      private var pending: scala.collection.mutable.ArrayBuffer[Triple] = null
 
       private def append(m: Long): Unit = {
         if (curLen == curArr.length) curArr = java.util.Arrays.copyOf(curArr, curLen * 2)
         curArr(curLen) = m
         curLen += 1
       }
-      // finish the accumulated turn: emit unless it is a context copy, then
-      // roll it into the lag slot (array swap, no allocation)
+      private def noteConv(r: R): Unit = {
+        if (convId == null) {
+          val s = ly.convId(r)
+          if (s != null) {
+            convId = s
+            if (pending != null && pending.nonEmpty) {
+              var i = 0
+              while (i < pending.length) { out += pending(i).copy(conv_id = s); i += 1 }
+              pending.clear()
+            }
+          }
+        } else if (ly.carriersSparse) {
+          val s = ly.convId(r)
+          if (s != null && s != convId) throw new IllegalStateException(
+            s"Triples.runEncodedSortedHashed: conv-id hash collision in one exchange " +
+              s"group ('$convId' vs '$s') — rerun with the exact string-keyed path")
+        }
+      }
       private def flushTurn(): Unit = {
-        val curTurn = curCt.toInt // low 32 bits; turn_idx ≥ 0 enforced
-        val adjacent = lastValid && lastTurn == curTurn - 1
-        if (curTurn / chunkTurns == (curCt >>> 32).toInt)
-          emitTurnRules(curArr, curLen,
-            if (adjacent) lastArr else EmptyLongs, if (adjacent) lastLen else 0,
-            convId, curTurn, ents, perB, orgB, locB, dedup, out)
-        val t = lastArr; lastArr = curArr; curArr = t
-        lastLen = curLen; lastTurn = curTurn; lastValid = true
+        val t = ly.turnIdx(curRow)
+        if (!ly.isContext(curRow)) {
+          if (convId != null) rules.emit(curArr, curLen, ring, convId, t, ents, dedup, out)
+          else {
+            if (pending == null) pending = new scala.collection.mutable.ArrayBuffer[Triple]()
+            rules.emit(curArr, curLen, ring, null, t, ents, dedup, pending)
+          }
+        }
+        curArr = ring.push(t, curArr, curLen)
         curLen = 0
       }
-      private def advance(): Unit =
-        while (outIdx >= out.length && (haveCur || it.hasNext)) {
+      private def endGroup(): Unit = {
+        if (pending != null && pending.nonEmpty) throw new IllegalStateException(
+          "Triples sorted walker: exchange group ended with no conversation-id " +
+            "carrier — markCarriers invariant violated")
+        ring.reset()
+      }
+      private def advance(): Unit = {
+        if (outIdx < out.length) return
+        out.clear(); outIdx = 0
+        while (out.isEmpty && (haveCur || it.hasNext)) {
           if (!it.hasNext) { // final accumulated turn
-            out.clear(); outIdx = 0
             flushTurn()
+            endGroup()
             haveCur = false
           } else {
             val r = it.next()
             if (!haveCur) {
-              curK = r._1; curCt = r._2
-              convId = decode(r._1); lastValid = false
-              haveCur = true
-              append(r._3)
-            } else if (r._2 == curCt && r._1 == curK) {
-              append(r._3)
+              curRow = r; haveCur = true
+              noteConv(r)
+              append(ly.mention(r))
+            } else if (ly.sameTurn(curRow, r)) {
+              noteConv(r)
+              append(ly.mention(r))
             } else {
-              out.clear(); outIdx = 0
               flushTurn()
-              if (r._1 != curK || (r._2 >>> 32) != (curCt >>> 32)) {
-                lastValid = false // lag never crosses a (key, chunk) edge
-                if (r._1 != curK) { convId = decode(r._1); curK = r._1 }
+              if (!ly.sameGroup(curRow, r)) {
+                endGroup()
+                if (!ly.sameConv(curRow, r)) convId = null
               }
-              curCt = r._2
-              append(r._3)
+              curRow = r
+              noteConv(r)
+              append(ly.mention(r))
             }
           }
         }
+      }
       def hasNext: Boolean = { advance(); outIdx < out.length }
       def next(): Triple = {
         advance()
@@ -445,6 +741,66 @@ object Triples {
         val t = out(outIdx); outIdx += 1; t
       }
     }
+  }
+
+  /** Depth-k ring of (turnIdx, sorted packed mentions) lag slots for the
+    * sorted walker — the k-generalized form of round 5's single lag slot.
+    * Lookup is by ABSOLUTE turn index (`msAt(turnIdx - d)`), so sparse turn
+    * indices behave exactly like the window path's `prev_idx == turn_idx−d`
+    * checks; a missing turn yields (EmptyLongs, 0).
+    */
+  private[graft] final class LagRing(val depth: Int) {
+    private val turns = Array.fill(depth)(Int.MinValue)
+    private val arrs = Array.fill(depth)(new Array[Long](8))
+    private val lens = new Array[Int](depth)
+    private var pos = 0
+    def reset(): Unit = {
+      var i = 0
+      while (i < depth) { turns(i) = Int.MinValue; i += 1 }
+    }
+    /** Record `turn`'s mentions; returns the evicted slot's array for reuse
+      * as the caller's next accumulation buffer (swap, no allocation).
+      */
+    def push(turn: Int, arr: Array[Long], len: Int): Array[Long] = {
+      val evicted = arrs(pos)
+      arrs(pos) = arr; lens(pos) = len; turns(pos) = turn
+      pos += 1; if (pos == depth) pos = 0
+      evicted
+    }
+    def msAt(turn: Int): Array[Long] = {
+      var i = 0
+      while (i < depth) { if (turns(i) == turn) return arrs(i); i += 1 }
+      EmptyLongs
+    }
+    def lenAt(turn: Int): Int = {
+      var i = 0
+      while (i < depth) { if (turns(i) == turn) return lens(i); i += 1 }
+      0
+    }
+  }
+
+  /** Pluggable rule body for the sorted walker: emit turn `turnIdx`'s
+    * triples given its sorted packed mentions and the depth-k lag ring of
+    * preceding turns. `depth` is the deepest cross-turn distance the rules
+    * consult — it sizes the ring AND the chunk-overlap duplication.
+    * `convId` may be null for turns buffered before a sparse-carrier
+    * group's id is known; the walker patches it on release.
+    */
+  private[graft] trait PackedRules extends Serializable {
+    def depth: Int
+    def emit(ms: Array[Long], msLen: Int, ring: LagRing, convId: String,
+             turnIdx: Int, ents: IndexedSeq[String], dedup: PairDedup,
+             out: scala.collection.mutable.ArrayBuffer[Triple]): Unit
+  }
+
+  private[graft] final class DefaultPackedRules(perB: Int, orgB: Int, locB: Int)
+      extends PackedRules {
+    val depth = 1
+    def emit(ms: Array[Long], msLen: Int, ring: LagRing, convId: String,
+             turnIdx: Int, ents: IndexedSeq[String], dedup: PairDedup,
+             out: scala.collection.mutable.ArrayBuffer[Triple]): Unit =
+      emitTurnRules(ms, msLen, ring.msAt(turnIdx - 1), ring.lenAt(turnIdx - 1),
+        convId, turnIdx, ents, perB, orgB, locB, dedup, out)
   }
 
   /** Run-length grouping of consecutive (key, turn) mention rows into one
@@ -485,7 +841,7 @@ object Triples {
     * tiny, so a scan beats any hash set and allocates nothing per element
     * (no boxing). Reset per row via `clear()`.
     */
-  private final class PairDedup {
+  private[graft] final class PairDedup {
     private var keys = new Array[Long](16)
     private var n = 0
     def clear(): Unit = n = 0
@@ -500,6 +856,16 @@ object Triples {
 
   private val EmptyLongs = Array.empty[Long]
 
+  /** Zero-copy unwrap of a Row's long-array column. PINNED ASSUMPTION: the
+    * caller (`emitPacked`) sorts the returned array IN PLACE, which is safe
+    * only because Spark's row deserializer materializes a FRESH primitive
+    * array per `getSeq` call per row (GenericRowWithSchema over a copied
+    * UnsafeArrayData) — nothing else aliases it. If a future Spark version
+    * ever serves a shared/reused buffer here (e.g. a columnar row path),
+    * switch the `emitPacked` call sites to `longArrayCopy` (ADVICE r5 low).
+    * The equivalence suite (PipelineSpec: runEncoded ≡ run) would catch the
+    * resulting corruption — sibling reads of a mutated row mis-sort turns.
+    */
   private def longArray(s: Seq[Long]): Array[Long] = (s: Any) match {
     case a: scala.collection.immutable.ArraySeq.ofLong => a.unsafeArray
     case a: scala.collection.mutable.ArraySeq.ofLong => a.array

@@ -97,6 +97,128 @@ class PipelineSpec extends SparkSpecBase {
       chunkTurns = 3, convCodec = Some(Pipeline.transcriptsConvCodec))) == viaWindow)
   }
 
+  test("sorted exchange: 64-bit codec, 32-bit packed and hashed-key layouts are equivalent") {
+    import spark.implicits._
+    val canon = result.canon.as[graft.core.CanonMention]
+    def sorted(t: org.apache.spark.sql.Dataset[Triple]) =
+      t.orderBy("conv_id", "turn_idx", "subj", "pred", "obj").collect().toSeq
+    val viaWindow = sorted(Triples.runWindow(canon))
+    // fits32=false forces the 3-column 64-bit key layout (the Pipeline codec
+    // is fits32=true, so the default-path tests above cover Packed32; this
+    // keeps the 64-bit walker covered too)
+    val codec64 = Pipeline.transcriptsConvCodec.copy(fits32 = false)
+    for (chunk <- Seq(Triples.DefaultChunkTurns, 3, 2)) {
+      assert(sorted(Triples.runEncodedSorted(canon, Pipeline.transcriptsDict,
+        chunkTurns = chunk, convCodec = Some(codec64))) == viaWindow,
+        s"codec64 chunkTurns=$chunk diverged")
+      // the hashed path treats ANY string id as opaque — numeric ones too
+      assert(sorted(Triples.runEncodedSortedHashed(canon, Pipeline.transcriptsDict,
+        chunkTurns = chunk)) == viaWindow, s"hashed chunkTurns=$chunk diverged")
+    }
+  }
+
+  test("hashed sorted exchange: UUID-keyed corpus, natural and adversarial layouts") {
+    import spark.implicits._
+    // deterministic UUID-shaped remap of every conv id (md5 hex 8-4-4-4-12):
+    // NOT numeric-derivable, so no ConvCodec can serve it — the exact shape
+    // runEncodedSortedHashed exists for
+    val uuid = expr("concat(substr(md5(conv_id),1,8),'-',substr(md5(conv_id),9,4)," +
+      "'-',substr(md5(conv_id),13,4),'-',substr(md5(conv_id),17,4),'-'," +
+      "substr(md5(conv_id),21,12))")
+    val canon = result.canon.withColumn("conv_id", uuid).as[graft.core.CanonMention]
+    def sorted(t: org.apache.spark.sql.Dataset[Triple]) =
+      t.orderBy("conv_id", "turn_idx", "subj", "pred", "obj").collect().toSeq
+    val viaWindow = sorted(Triples.runWindow(canon))
+    assert(viaWindow.nonEmpty)
+    for (chunk <- Seq(Triples.DefaultChunkTurns, 3, 2))
+      assert(sorted(Triples.runEncodedSortedHashed(canon, Pipeline.transcriptsDict,
+        chunkTurns = chunk)) == viaWindow, s"uuid hashed chunkTurns=$chunk diverged")
+    // adversarial map-side layout: round-robin repartition destroys the
+    // turn-contiguous run structure markCarriers amortizes on — carriers
+    // multiply and turns can sort before their group's first carrier,
+    // exercising the walker's pending-turn buffering; output must not move
+    val shuffled = canon.repartition(7).as[graft.core.CanonMention]
+    assert(sorted(Triples.runEncodedSortedHashed(shuffled, Pipeline.transcriptsDict,
+      chunkTurns = 3)) == viaWindow, "adversarial layout diverged")
+  }
+
+  test("k=2 rule set through the sorted walker: lag ring ≡ local reference on all layouts") {
+    import spark.implicits._
+    // sparse handcrafted corpus: turn gaps make lag POSITION ≠ turn distance,
+    // the trap a depth-2 rule must survive (ring lookup is by absolute turn)
+    val rnd = new scala.util.Random(123)
+    val labels = Array("PER", "ORG", "LOC")
+    val rows = (0 until 6).flatMap { c =>
+      (0 until 25).flatMap { t =>
+        if (rnd.nextInt(3) == 0) Nil
+        else (0 until 1 + rnd.nextInt(2)).map { m =>
+          val lbl = labels(rnd.nextInt(3))
+          CanonMention(f"conv_$c%08d", t, m * 10, m * 10 + 3, lbl, "x",
+            s"$lbl$m", s"$lbl$m")
+        }
+      }
+    }
+    val canon = rows.toDS()
+    val dict = TripleDict(labels.toSeq, rows.map(_.canonical_id))
+    val perB = dict.rankOfLabel("PER")
+    // default k=1 rules PLUS PER(t)×PER(t−2), distinct ids → follows_up2
+    val rules2 = new Triples.PackedRules {
+      val depth = 2
+      private val inner = Triples.defaultRules(dict)
+      def emit(ms: Array[Long], msLen: Int, ring: Triples.LagRing,
+               convId: String, turnIdx: Int, ents: IndexedSeq[String],
+               dedup: Triples.PairDedup,
+               out: scala.collection.mutable.ArrayBuffer[Triple]): Unit = {
+        inner.emit(ms, msLen, ring, convId, turnIdx, ents, dedup, out)
+        val prev = ring.msAt(turnIdx - 2); val prevLen = ring.lenAt(turnIdx - 2)
+        val seen = scala.collection.mutable.Set.empty[(Int, Int)]
+        var i = 0
+        while (i < msLen) {
+          if (((ms(i) >>> 32) & 0xff).toInt == perB) {
+            var j = 0
+            while (j < prevLen) {
+              if (((prev(j) >>> 32) & 0xff).toInt == perB) {
+                val s = (ms(i) & 0xffffffffL).toInt
+                val o = (prev(j) & 0xffffffffL).toInt
+                if (s != o && seen.add((s, o)))
+                  out += Triple(ents(s), "follows_up2", ents(o), convId, turnIdx)
+              }
+              j += 1
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    // local reference: base k=1 triples from the trusted window witness,
+    // plus follows_up2 computed directly from the fixture rows
+    val byTurn = rows.groupBy(r => (r.conv_id, r.turn_idx))
+    val fu2 = byTurn.keys.toSeq.flatMap { case (cid, t) =>
+      val cur = byTurn((cid, t)).filter(_.label == "PER").map(_.canonical_id)
+      val prev = byTurn.getOrElse((cid, t - 2), Nil).filter(_.label == "PER")
+        .map(_.canonical_id)
+      (for (p <- cur; q <- prev; if p != q) yield Triple(p, "follows_up2", q, cid, t))
+        .distinct
+    }
+    assert(fu2.nonEmpty, "fixture must exercise depth-2 context")
+    val expect = (Triples.runWindow(canon).collect().toSeq ++ fu2)
+      .sortBy(t => (t.conv_id, t.turn_idx, t.subj, t.pred, t.obj))
+    def got(t: org.apache.spark.sql.Dataset[Triple]) =
+      t.collect().toSeq.sortBy(t => (t.conv_id, t.turn_idx, t.subj, t.pred, t.obj))
+    val codec32 = Pipeline.transcriptsConvCodec
+    val codec64 = codec32.copy(fits32 = false)
+    for (chunk <- Seq(Triples.DefaultChunkTurns, 7, 4, 3)) {
+      assert(got(Triples.runEncodedSortedRules(canon, dict, chunk,
+        Some(codec32), rules2)) == expect, s"packed32 k=2 chunkTurns=$chunk")
+      assert(got(Triples.runEncodedSortedRules(canon, dict, chunk,
+        Some(codec64), rules2)) == expect, s"codec64 k=2 chunkTurns=$chunk")
+      assert(got(Triples.runEncodedSortedRules(canon, dict, chunk,
+        None, rules2)) == expect, s"string-key k=2 chunkTurns=$chunk")
+      assert(got(Triples.runEncodedSortedHashedRules(canon, dict, chunk,
+        rules2)) == expect, s"hashed k=2 chunkTurns=$chunk")
+    }
+  }
+
   /** All messages down a Spark-nested cause chain (raise_error wraps). */
   private def msgs(t: Throwable): Seq[String] =
     if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
