@@ -7,20 +7,27 @@ import org.apache.spark.sql.SparkSession
 import graft.stages._
 import graft.synth.Transcripts
 
-/** A/B/C probe for the encoded triple exchange (VERDICT r4 item 1): runs
-  * the full gen..triplesEnc chain under each exchange shape —
-  *   "mention"  one shuffled row per MENTION + collect_list/window (the
-  *              round-4 shape),
-  *   "prepack"  one row per locally-contiguous turn run (runEncoded
-  *              prePack=true),
-  *   "sorted"   one row per mention consumed by the sortWithinPartitions
-  *              walker, no collect_list/window (runEncodedSorted — measured
-  *              fastest, the Pipeline default since round 5) —
+/** A/B probe for the encoded triple exchange (VERDICT r4 item 1, extended
+  * r6): runs the full gen..triples chain under each exchange shape —
+  *   "mention"   one shuffled row per MENTION + collect_list/window (the
+  *               round-4 shape),
+  *   "prepack"   one row per locally-contiguous turn run (runEncoded
+  *               prePack=true),
+  *   "sorted64"  sortWithinPartitions walker, 64-bit codec key + packed
+  *               (chunk,turn) — the round-5 shape,
+  *   "sorted32"  walker with the (convKey32|chunk|tic, mention) 2-long rows
+  *               (ConvCodec.fits32 — the Pipeline default since round 6),
+  *   "uuidstr"   conv ids remapped to UUID strings (numeric codec
+  *               impossible), exact string-keyed sorted exchange,
+  *   "uuidhash"  same UUID corpus through runEncodedSortedHashed (96-bit
+  *               hash keys + once-per-run carrier strings) —
   * and reports wall plus TOTAL shuffle write bytes/records per leg via a
   * task-metrics listener. Wall alone can under-report a byte win on this
   * single-host VM (shuffle "bytes" never cross a NIC here); the
-  * byte/record counts are the cluster-relevant evidence. Diagnostic only.
-  * Usage: runMain graft.ExchangeAB [nConvs] [cores] [reps]
+  * byte/record counts are the cluster-relevant evidence. The uuid legs are
+  * only comparable to each other (their corpus ships wider ids through
+  * detect/link/canon too). Diagnostic only.
+  * Usage: runMain graft.ExchangeAB [nConvs] [cores] [reps] [variants-csv]
   */
 object ExchangeAB {
   private final class ShuffleTally extends SparkListener {
@@ -56,23 +63,41 @@ object ExchangeAB {
     def chain(variant: String, convs: Long = nConvs): Long = {
       val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
       import spark.implicits._
-      val canon = Canon.run(
+      import org.apache.spark.sql.functions.{col, expr}
+      val canon0 = Canon.run(
         Link.run(Detect.run(Transcripts.turns(spark, convs), tagger),
           Transcripts.aliasRows.toDF()),
         Transcripts.sameAs.toDF("src", "dst"))
-      val codec = Some(Pipeline.transcriptsConvCodec)
+      // uuid legs: remap every conv id to a UUID-shaped md5 (deterministic,
+      // NOT numeric-derivable) right before triple assembly, so the two uuid
+      // legs share identical upstream work and differ only in the exchange
+      val canon = if (variant.startsWith("uuid"))
+        canon0.withColumn("conv_id",
+          expr("concat(substr(md5(conv_id),1,8),'-',substr(md5(conv_id),9,4),'-'," +
+            "substr(md5(conv_id),13,4),'-',substr(md5(conv_id),17,4),'-'," +
+            "substr(md5(conv_id),21,12))")).as[graft.core.CanonMention]
+      else canon0
+      val codec32 = Pipeline.transcriptsConvCodec // fits32 = true
+      val codec64 = codec32.copy(fits32 = false)
       val triples = variant match {
         case "mention" => Triples.runEncoded(canon, Pipeline.transcriptsDict,
-          convCodec = codec, prePack = false)
+          convCodec = Some(codec32), prePack = false)
         case "prepack" => Triples.runEncoded(canon, Pipeline.transcriptsDict,
-          convCodec = codec, prePack = true)
-        case "sorted" => Triples.runEncodedSorted(canon, Pipeline.transcriptsDict,
-          convCodec = codec)
+          convCodec = Some(codec32), prePack = true)
+        case "sorted64" => Triples.runEncodedSorted(canon, Pipeline.transcriptsDict,
+          convCodec = Some(codec64))
+        case "sorted32" => Triples.runEncodedSorted(canon, Pipeline.transcriptsDict,
+          convCodec = Some(codec32))
+        case "uuidstr" => Triples.runEncodedSorted(canon, Pipeline.transcriptsDict,
+          convCodec = None)
+        case "uuidhash" => Triples.runEncodedSortedHashed(canon, Pipeline.transcriptsDict)
       }
       triples.count()
     }
 
-    val variants = Seq("mention", "prepack", "sorted")
+    val variants =
+      if (args.length > 3) args(3).split(',').toSeq
+      else Seq("mention", "prepack", "sorted64", "sorted32", "uuidstr", "uuidhash")
     // JIT/codegen warmup on ALL variants at 1/10 scale
     variants.foreach(chain(_, nConvs / 10))
     spark.catalog.clearCache()

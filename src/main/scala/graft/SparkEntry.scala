@@ -266,6 +266,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_convs"), sum(col("n_triples")).as("n_triples"),
           max(col("n_triples")).as("max_per_conv"))
     }),
+    // the hashed-key sorted exchange (UUID / opaque conv ids): conv ids are
+    // remapped to UUID-shaped md5 text (injective at these scales, NOT
+    // numeric-derivable), triples assembled via runEncodedSortedHashed. Both
+    // aggregates are remap-invariant, so the gold triples oracle them: per-
+    // pred triple counts AND per-pred distinct-conversation counts (the
+    // latter fails if the hashed walker ever merged or split a conversation)
+    "q48_triples_hashed_uuid" -> ((s, dir) => {
+      import s.implicits._
+      val r = Pipeline.run(s, convsFor(dir))
+      val uuid = expr("concat(substr(md5(conv_id),1,8),'-',substr(md5(conv_id),9,4)," +
+        "'-',substr(md5(conv_id),13,4),'-',substr(md5(conv_id),17,4),'-'," +
+        "substr(md5(conv_id),21,12))")
+      val canon = r.canon.withColumn("conv_id", uuid).as[CanonMention]
+      Triples.runEncodedSortedHashed(canon, Pipeline.transcriptsDict)
+        .groupBy(col("pred"))
+        .agg(count(lit(1)).as("n_triples"),
+          countDistinct(col("conv_id")).as("n_convs"))
+        .orderBy(col("pred"))
+    }),
     "q27_label_frequency" -> ((s, dir) => {
       // label frequency count over gazetteer hits (dis_calc.py:56-72 shape):
       // repeat vs non-repeat = count vs countDistinct
@@ -1032,6 +1051,10 @@ object SparkEntry {
          GROUP BY label ORDER BY 1, 2""",
     "q23_pipeline_triples" ->
       s"""SELECT pred, COUNT(*) AS n_triples
+         FROM read_parquet('{AUX}/gold_triples/*.parquet')
+         GROUP BY pred ORDER BY pred""",
+    "q48_triples_hashed_uuid" ->
+      s"""SELECT pred, COUNT(*) AS n_triples, COUNT(DISTINCT conv_id) AS n_convs
          FROM read_parquet('{AUX}/gold_triples/*.parquet')
          GROUP BY pred ORDER BY pred""",
     "q24_pipeline_conv_stats" ->
