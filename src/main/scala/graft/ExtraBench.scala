@@ -119,39 +119,72 @@ object StreamBench {
         (r.surface.toLowerCase(java.util.Locale.ROOT), r.label) -> r.entity_id).toMap)
     val canonMap = spark.sparkContext.broadcast(Transcripts.canonicalOf)
 
-    val turns = spark.readStream.format("rate")
+    val rate = spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSec.toString)
       .option("numPartitions", cores.toString)
       .load()
       .select(col("value"), col("timestamp"))
       .as[(Long, java.sql.Timestamp)]
-      .map { case (id, ts) =>
-        // 20-turn conversations, turn text from the deterministic generator;
-        // event time = rate-source time (live watermark)
-        val (t, _) = Transcripts.makeTurn(id / 20, (id % 20).toInt, 42L)
-        Turn(t.conv_id, t.turn_idx, t.role, t.text, t.tool, ts)
-      }
 
-    val mentions = turns.mapPartitions { it =>
-      val tg = tagger.value
-      val am = aliasMap.value
-      val cm = canonMap.value
-      // Detect.spanPartition: the bench measures the SAME detect core as the
-      // batch pipeline (one source of truth for the micro-batch packing)
-      Detect.spanPartition(it, tg).flatMap { case (turn, spans) =>
-        spans.iterator.flatMap { sp =>
-          am.get((sp.surface.toLowerCase(java.util.Locale.ROOT), sp.label))
-            .map { eid =>
-              graft.streaming.StreamingTriples.TimedCanonMention(
-                turn.conv_id, turn.turn_idx, sp.start, sp.end, sp.label,
-                sp.surface, eid, cm.getOrElse(eid, eid), turn.ts)
+    // SPARK_GRAFT_STREAM_MODE=nodetect: attribution control — identical
+    // generator, link/canon maps and stateful assembly, but the tagger is
+    // replaced by the generator's own gold spans (P/R = 1.0, so the mention
+    // stream is value-identical). The throughput gap between the two modes
+    // is the detect stage's share of the streaming wall; everything else is
+    // the state operator + micro-batch machinery.
+    val mode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "detect")
+    val mentions = mode match {
+      case "nodetect" =>
+        rate.mapPartitions { it =>
+          val am = aliasMap.value
+          val cm = canonMap.value
+          it.flatMap { case (id, ts) =>
+            val (_, golds) = Transcripts.makeTurn(id / 20, (id % 20).toInt, 42L)
+            golds.iterator.flatMap { g =>
+              am.get((g.surface.toLowerCase(java.util.Locale.ROOT), g.label))
+                .map { eid =>
+                  graft.streaming.StreamingTriples.TimedCanonMention(
+                    g.conv_id, g.turn_idx, g.start, g.end, g.label,
+                    g.surface, eid, cm.getOrElse(eid, eid), ts)
+                }
             }
+          }
         }
-      }
+      case _ =>
+        val turns = rate.map { case (id, ts) =>
+          // 20-turn conversations, turn text from the deterministic generator;
+          // event time = rate-source time (live watermark)
+          val (t, _) = Transcripts.makeTurn(id / 20, (id % 20).toInt, 42L)
+          Turn(t.conv_id, t.turn_idx, t.role, t.text, t.tool, ts)
+        }
+        turns.mapPartitions { it =>
+          val tg = tagger.value
+          val am = aliasMap.value
+          val cm = canonMap.value
+          // Detect.spanPartition: the bench measures the SAME detect core as
+          // the batch pipeline (one source of truth for micro-batch packing)
+          Detect.spanPartition(it, tg).flatMap { case (turn, spans) =>
+            spans.iterator.flatMap { sp =>
+              am.get((sp.surface.toLowerCase(java.util.Locale.ROOT), sp.label))
+                .map { eid =>
+                  graft.streaming.StreamingTriples.TimedCanonMention(
+                    turn.conv_id, turn.turn_idx, sp.start, sp.end, sp.label,
+                    sp.surface, eid, cm.getOrElse(eid, eid), turn.ts)
+                }
+            }
+          }
+        }
     }
 
     val triples = graft.streaming.StreamingTriples
       .assembleWithEviction(mentions, watermark = "30 seconds", idleGap = "15 seconds")
+
+    // JIT warmup stream: without it the cold first batch accumulates a huge
+    // rate-source backlog, collapsing the window into 2-3 giant batches and
+    // swinging the reading ±40%; a fresh query afterwards starts hot
+    val warm = triples.writeStream.format("noop").outputMode("append").start()
+    warm.awaitTermination(12000L)
+    warm.stop(); warm.awaitTermination()
 
     val q = triples.writeStream.format("noop").outputMode("append").start()
     val t0 = System.nanoTime()
