@@ -234,6 +234,48 @@ class PipelineSpec extends SparkSpecBase {
     assert(msgs(e).exists(_.contains("convCodec failed")), s"got: ${msgs(e)}")
   }
 
+  test("fits32 codec fails LOUDLY on a conv key ≥ 2^32 (would alias another conversation)") {
+    import spark.implicits._
+    // conv_4294967296 parses (10 digits, no leading zero) but exceeds 32
+    // bits — the Packed32 layout must abort, never truncate into a
+    // different conversation's key space
+    val canon = Seq(
+      CanonMention("conv_4294967296", 0, 0, 3, "PER", "x", "PER00", "PER00")).toDS()
+    val e = intercept[Exception] {
+      Triples.runEncodedSorted(canon, Pipeline.transcriptsDict,
+        convCodec = Some(Pipeline.transcriptsConvCodec)).collect()
+    }
+    assert(msgs(e).exists(_.contains("fits32 violated")), s"got: ${msgs(e)}")
+    // the SAME corpus is served fine by the 64-bit layout
+    val ok = Triples.runEncodedSorted(canon, Pipeline.transcriptsDict,
+      convCodec = Some(Pipeline.transcriptsConvCodec.copy(fits32 = false))).collect()
+    assert(ok.isEmpty) // one lone PER mention emits no triples — but it ran
+  }
+
+  test("packed layouts fail LOUDLY when turn_idx overflows the chunk field") {
+    import spark.implicits._
+    // chunk occupies 15 bits in the Packed32/Hashed layouts: with a tiny
+    // chunk size, a turn index past chunkTurns·2^15 must abort, not wrap
+    val canon = Seq(
+      CanonMention(f"conv_${7}%08d", 3 * 32768, 0, 3, "PER", "x", "PER00", "PER00")).toDS()
+    val e1 = intercept[Exception] {
+      Triples.runEncodedSorted(canon, Pipeline.transcriptsDict, chunkTurns = 3,
+        convCodec = Some(Pipeline.transcriptsConvCodec)).collect()
+    }
+    assert(msgs(e1).exists(_.contains("turn_idx ≥ chunkTurns")), s"got: ${msgs(e1)}")
+    val e2 = intercept[Exception] {
+      Triples.runEncodedSortedHashed(canon, Pipeline.transcriptsDict,
+        chunkTurns = 3).collect()
+    }
+    assert(msgs(e2).exists(_.contains("turn_idx ≥ chunkTurns")), s"got: ${msgs(e2)}")
+    // the 64-bit and string layouts carry the same turn fine (32-bit chunk)
+    assert(Triples.runEncodedSorted(canon, Pipeline.transcriptsDict, chunkTurns = 3,
+      convCodec = Some(Pipeline.transcriptsConvCodec.copy(fits32 = false)))
+      .collect().isEmpty)
+    assert(Triples.runEncodedSorted(canon, Pipeline.transcriptsDict, chunkTurns = 3,
+      convCodec = None).collect().isEmpty)
+  }
+
   test("encoded path fails LOUDLY on a canonical_id missing from the dict") {
     import spark.implicits._
     val canon = Seq(
