@@ -316,9 +316,10 @@ object Triples {
   // bit layout of the single-long (chunk, turn-in-chunk) positions used by
   // the Packed32 and Hashed sorted exchanges: [hi:32 | chunk:15 | tic:17].
   // tic = turn − chunk·chunkTurns + depth, so context copies (tic < depth)
-  // sort BEFORE their chunk's real rows; chunk < 2^15 bounds one
-  // conversation at chunkTurns·32768 turns (2^31 at the default chunking —
-  // i.e. any Int turn_idx), enforced loudly per row.
+  // sort BEFORE their chunk's real rows; chunk < 2^15 — for BOTH the real
+  // row's chunk and its overlap copy's chunk+1 — bounds one conversation at
+  // chunkTurns·32768 − depth turns (all but the topmost k Int turn_idx
+  // values at the default chunking), enforced loudly per row.
   private[graft] val TicBits = 17
   private[graft] val ChunkBits = 15
   private val TicMask = (1L << TicBits) - 1
@@ -414,12 +415,18 @@ object Triples {
           .otherwise(raise_error(concat(
             lit("Triples: ConvCodec.fits32 violated (conv key ≥ 2^32): "),
             col("_cid").cast("string"))).cast("long"))
-        // chunk must fit its 15 bits: turn < chunkTurns·2^15 (any Int
-        // turn_idx at the default chunking; loud on tiny test chunk sizes)
-        val turnOk = when(col("turn_idx") < lit(chunkTurns.toLong << ChunkBits),
+        // chunk must fit its 15 bits INCLUDING the overlap copy's chunk+1:
+        // a context copy of the last chunk's final k turns would otherwise
+        // compute chunk 2^15, whose shifted bits carry into the conv-key
+        // field and leak the row into the NEXT key's chunk 0 as a phantom
+        // negative turn. Bound: turn < chunkTurns·2^15 − k (all Int
+        // turn_idx but the topmost k at the default chunking; loud on tiny
+        // test chunk sizes)
+        val turnOk = when(
+            col("turn_idx") < lit((chunkTurns.toLong << ChunkBits) - k),
             col("turn_idx"))
           .otherwise(raise_error(concat(
-            lit(s"Triples: turn_idx ≥ chunkTurns·2^$ChunkBits in conv key "),
+            lit(s"Triples: turn_idx ≥ chunkTurns·2^$ChunkBits−$k in conv key "),
             col("_cid").cast("string"))).cast("int"))
         val chunk = floor(turnOk / chunkTurns).cast("long")
         val p = shiftleft(cid32, 32) + shiftleft(chunk, TicBits) +
@@ -484,10 +491,14 @@ object Triples {
     import spark.implicits._
     val bcEnts = spark.sparkContext.broadcast(dict.entities)
     val pm = packedMentions(canon, dict, None)
-    val turnOk = when(col("turn_idx") < lit(chunkTurns.toLong << ChunkBits),
+    // same chunk+1-overflow-safe bound as the Packed32 layout (see there):
+    // the overlap copy's chunk must also fit the 15-bit field, or its
+    // shifted bits would carry into the k2hi hash field
+    val turnOk = when(
+        col("turn_idx") < lit((chunkTurns.toLong << ChunkBits) - k),
         col("turn_idx"))
       .otherwise(raise_error(concat(
-        lit(s"Triples.runEncodedSortedHashed: turn_idx ≥ chunkTurns·2^$ChunkBits in "),
+        lit(s"Triples.runEncodedSortedHashed: turn_idx ≥ chunkTurns·2^$ChunkBits−$k in "),
         col("_cid"))).cast("int"))
     // two independently-derived hashes of the conv id (a second input column
     // changes the xxhash64 stream) — 96 bits of group identity on the wire

@@ -268,6 +268,24 @@ class PipelineSpec extends SparkSpecBase {
         chunkTurns = 3).collect()
     }
     assert(msgs(e2).exists(_.contains("turn_idx ≥ chunkTurns")), s"got: ${msgs(e2)}")
+    // regression: the OVERLAP COPY's chunk+1 must also fit 15 bits — turn
+    // chunkTurns·2^15 − k sits in the last chunk's overlap window, whose
+    // copy would compute chunk 2^15 and carry into the conv-key bits,
+    // leaking a phantom negative-turn context row into the NEXT key's
+    // chunk 0 (the original guard admitted it)
+    val boundary = Seq(
+      CanonMention(f"conv_${7}%08d", 3 * 32768 - 1, 0, 3, "PER", "x",
+        "PER00", "PER00")).toDS()
+    val e3 = intercept[Exception] {
+      Triples.runEncodedSorted(boundary, Pipeline.transcriptsDict, chunkTurns = 3,
+        convCodec = Some(Pipeline.transcriptsConvCodec)).collect()
+    }
+    assert(msgs(e3).exists(_.contains("turn_idx ≥ chunkTurns")), s"got: ${msgs(e3)}")
+    val e4 = intercept[Exception] {
+      Triples.runEncodedSortedHashed(boundary, Pipeline.transcriptsDict,
+        chunkTurns = 3).collect()
+    }
+    assert(msgs(e4).exists(_.contains("turn_idx ≥ chunkTurns")), s"got: ${msgs(e4)}")
     // the 64-bit and string layouts carry the same turn fine (32-bit chunk)
     assert(Triples.runEncodedSorted(canon, Pipeline.transcriptsDict, chunkTurns = 3,
       convCodec = Some(Pipeline.transcriptsConvCodec.copy(fits32 = false)))
