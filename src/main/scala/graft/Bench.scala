@@ -26,6 +26,8 @@ object Bench {
       // shuffle dirs keep the measurement CPU-bound, not VM-disk-bound
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd")) // round-6 measured default
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -99,6 +101,8 @@ object CCBench {
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", "128")
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd")) // round-6 measured default
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
@@ -149,10 +153,14 @@ object Scaling {
       // which caps the high-core leg on I/O instead of CPU (a real cluster
       // node's NVMe wouldn't); we measure CPU scaling, not VM disk
       .config("spark.local.dir", "/dev/shm/graft-spark")
-      // shuffle/checkpoint codec, env-tunable for A/B (BENCH.md records the
-      // measured choice for this membus-bound workload)
+      // shuffle/checkpoint codec, env-tunable for A/B. Default flipped to
+      // zstd in round 6 on same-session A/B evidence at the sorted32 row
+      // shape: −61% compressed exchange bytes AND ≤ wall at every core
+      // count (32c chain 8.99 vs 10.78 s best; 4c leg 579.3k vs 559.2k
+      // turns/s; 1c within noise; 1→4 efficiency 0.914 — BENCH.md
+      // §Round-6). On a NIC-bound cluster the byte cut compounds.
       .config("spark.io.compression.codec",
-        sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -25,6 +25,8 @@ object LinkBench {
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", "128")
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd")) // round-6 measured default
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
@@ -98,6 +100,8 @@ object StreamBench {
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd")) // round-6 measured default
       .config("spark.sql.adaptive.enabled", "false") // streaming plans
       // recentProgress retains only the newest N updates (default 100);
       // the throughput sum below must see EVERY batch or long runs silently

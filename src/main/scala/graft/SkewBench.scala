@@ -25,6 +25,8 @@ object SkewBench {
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", "128")
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "zstd")) // round-6 measured default
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
