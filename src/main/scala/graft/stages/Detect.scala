@@ -114,9 +114,9 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
   override def spanBatch(texts: Seq[String]): Seq[List[Span]] = texts.map(spanOne)
 
   def spanOne(text: String): List[Span] = {
-    val n = decodeInto(text)
+    val s = scratch.get() // one ThreadLocal probe per turn, shared with decode
+    val n = decodeInto(text, s)
     if (n <= 0) return Nil // empty text, or the zero-vote all-O fast path
-    val s = scratch.get()
     if (s.direct) {
       // conflict-free turns: the spans ARE the collected words (proof in
       // decodeInto). Surfaces reuse the dictionary-owned word string — by
@@ -165,14 +165,14 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
   }
 
   def tagOne(text: String): Array[String] = {
-    val n = decodeInto(text)
+    val s = scratch.get()
+    val n = decodeInto(text, s)
     if (n == 0) return Array.empty
     if (n < 0) { // zero-vote fast path: the decode is all-O by construction
       val out = new Array[String](-n)
       java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], tagSet(oIdx))
       return out
     }
-    val s = scratch.get()
     val out = new Array[String](n)
     if (s.direct) { // O everywhere except the collected words' BMES tags
       java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]], tagSet(oIdx))
@@ -229,10 +229,9 @@ final class LexiconCrfTagger(trie: Trie, dict: Map[String, String],
     * TRIE match at its position; the first-level probe uses the trie's
     * char-indexed root array).
     */
-  private def decodeInto(text: String): Int = {
+  private def decodeInto(text: String, s: DetectScratch): Int = {
     val n = text.length
     if (n == 0) return 0
-    val s = scratch.get()
     s.vit.ensure(n)
     s.nWords = 0
     s.direct = false
@@ -372,11 +371,40 @@ object Detect {
     * the batch pipeline. Emission order within a chunk is the SORTED order —
     * callers must not assume input order (rows carry their own keys).
     */
+  private val lengthDesc: java.util.Comparator[Turn] =
+    (a: Turn, b: Turn) => Integer.compare(b.text.length, a.text.length)
+
   def spanPartition(it: Iterator[Turn],
                     tg: MentionTagger): Iterator[(Turn, List[Span])] =
-    it.grouped(BatchSize).flatMap { chunk =>
-      val sorted = chunk.sortBy(-_.text.length) // length packing
-      sorted.iterator.zip(tg.spanBatch(sorted.map(_.text)).iterator)
+    new Iterator[(Turn, List[Span])] {
+      // reused micro-batch buffer: the old grouped/sortBy/map pipeline
+      // allocated ~5 intermediate collections (plus boxed sort keys) per
+      // 64-turn chunk — at 10^12 turns that's measurable allocator traffic.
+      // Output tuples reference the Turn objects, never the buffer, so
+      // reuse is safe. TimSort on the range is stable like sortBy, so the
+      // per-chunk emission order is IDENTICAL to the old implementation.
+      private val buf = new Array[Turn](BatchSize)
+      private var spans: Seq[List[Span]] = null
+      private var n = 0
+      private var i = 0
+      private def fill(): Unit = {
+        n = 0
+        while (n < BatchSize && it.hasNext) { buf(n) = it.next(); n += 1 }
+        if (n > 0) {
+          java.util.Arrays.sort(buf, 0, n, lengthDesc) // length packing
+          val texts = new Array[String](n)
+          var j = 0
+          while (j < n) { texts(j) = buf(j).text; j += 1 }
+          spans = tg.spanBatch(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(texts)).toIndexedSeq
+        }
+        i = 0
+      }
+      def hasNext: Boolean = { if (i >= n) fill(); i < n }
+      def next(): (Turn, List[Span]) = {
+        if (!hasNext) throw new NoSuchElementException("spanPartition")
+        val r = (buf(i), spans(i)); i += 1; r
+      }
     }
 
   def run(turns: Dataset[Turn], tagger: Broadcast[MentionTagger],
