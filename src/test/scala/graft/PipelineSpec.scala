@@ -344,7 +344,7 @@ class PipelineSpec extends SparkSpecBase {
           if (rnd.nextInt(3) == 0) Nil
           else (0 until 1 + rnd.nextInt(3)).map { m =>
             val lbl = labels(rnd.nextInt(3))
-            CanonMention(s"conv$c", t, m * 10, m * 10 + 3, lbl, "x",
+            CanonMention(f"conv_$c%08d", t, m * 10, m * 10 + 3, lbl, "x",
               s"$lbl${rnd.nextInt(5)}", s"$lbl${rnd.nextInt(5)}")
           }
         }
@@ -361,7 +361,17 @@ class PipelineSpec extends SparkSpecBase {
         for (l <- labels.toSeq; i <- 0 until 5) yield s"$l$i")
       assert(sorted(Triples.runEncoded(canon, dict, chunkTurns = chunk)) == viaWindow,
         s"trial $trial encoded chunkTurns=$chunk diverged")
-      assert(sorted(Triples.runEncodedSorted(canon, dict, chunkTurns = chunk)) == viaWindow,
+      // sorted walker: roll a random wire layout each trial (string /
+      // packed32 / codec64 / hashed) so every layout sees random corpora
+      val sortedGot = rnd.nextInt(4) match {
+        case 0 => Triples.runEncodedSorted(canon, dict, chunkTurns = chunk)
+        case 1 => Triples.runEncodedSorted(canon, dict, chunkTurns = chunk,
+          convCodec = Some(Pipeline.transcriptsConvCodec)) // fits32 → Packed32
+        case 2 => Triples.runEncodedSorted(canon, dict, chunkTurns = chunk,
+          convCodec = Some(Pipeline.transcriptsConvCodec.copy(fits32 = false)))
+        case 3 => Triples.runEncodedSortedHashed(canon, dict, chunkTurns = chunk)
+      }
+      assert(sorted(sortedGot) == viaWindow,
         s"trial $trial sorted-exchange chunkTurns=$chunk diverged")
     }
   }
