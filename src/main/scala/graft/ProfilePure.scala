@@ -23,7 +23,13 @@ object ProfilePure {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // SPARK_GRAFT_PREFIXES=gen,gen+detect,... restricts which prefixes run —
+    // low-core attribution runs can't afford the full list (the generic
+    // triples control alone is minutes at 1 core)
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_PREFIXES")
+      .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty)
     def t(name: String)(f: => Long): Unit = {
+      if (only.nonEmpty && !only.contains(name)) return
       val t0 = System.nanoTime()
       val n = f
       println(f"[pure] $name%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
