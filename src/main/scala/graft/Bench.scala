@@ -144,11 +144,14 @@ object Scaling {
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
       // partition count is DATA-driven, identical at both parallelism levels
-      // (only cores change): 128 keeps reduce partitions ~tens-of-MB at the
-      // bench corpus so the low-core leg never tips into sort spill; AQE
-      // coalesces away the excess on small stages
-      .config("spark.sql.shuffle.partitions", "128")
-      .config("spark.default.parallelism", "128")
+      // (only cores change), so legs stay comparable; env-tunable for A/B.
+      // 128 was sized for round-1 row widths; the round-6 sorted32+zstd
+      // exchange is ~152 MB total at the bench corpus, so far smaller
+      // counts are spill-free too — BENCH.md records the measured choice.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_PARTS", "128"))
+      .config("spark.default.parallelism",
+        sys.env.getOrElse("SPARK_GRAFT_PARTS", "128"))
       // shuffle files on tmpfs: the sandbox VM's disk throttles ~300MB/s,
       // which caps the high-core leg on I/O instead of CPU (a real cluster
       // node's NVMe wouldn't); we measure CPU scaling, not VM disk
