@@ -419,7 +419,8 @@ object Detect {
       spanPartition(it, tg).flatMap { case (turn, spans) =>
         if (tIn != null) tIn.add(1)
         if (mOut != null) mOut.add(spans.size)
-        spans.map(sp =>
+        // iterator, not map: don't build a second List per turn just to flatten it
+        spans.iterator.map(sp =>
           Mention(turn.conv_id, turn.turn_idx, sp.start, sp.end, sp.label, sp.surface))
       }
     }
