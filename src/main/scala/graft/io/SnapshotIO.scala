@@ -135,9 +135,15 @@ object SnapshotIO {
             java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
           catch {
             case _: java.nio.file.NoSuchFileException =>
-              try Files.write(lock, lockContent(holderId),
-                StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-              catch { case _: java.io.IOException => () } // peer owns the path
+              // a tick interrupted between its sleep and this touch would see
+              // the holder's OWN release-delete as a vanish and resurrect the
+              // lock as an orphan (blocking peers for a full TTL) — the
+              // release path also join()s this thread so its last re-create,
+              // if any, lands BEFORE the holderId check deletes it (ADVICE r6)
+              if (!Thread.currentThread().isInterrupted)
+                try Files.write(lock, lockContent(holderId),
+                  StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+                catch { case _: java.io.IOException => () } // peer owns the path
             case _: java.io.IOException => () // transient — retry next tick
           }
         } catch { case _: InterruptedException => running = false }
@@ -148,6 +154,13 @@ object SnapshotIO {
     try body
     finally {
       heartbeat.interrupt()
+      // join BEFORE the read-and-delete: guarantees no heartbeat tick is
+      // still in flight when the lock file is inspected — a tick caught
+      // between sleep and touch could otherwise re-create the lock AFTER
+      // this delete and orphan it for a full TTL (ADVICE r6; the
+      // isInterrupted gate above is the belt, this join the braces)
+      try heartbeat.join(OrphanTtlMs)
+      catch { case _: InterruptedException => Thread.currentThread().interrupt() }
       // release ONLY a lock we still hold: in the residual wedged-past-TTL
       // scenario a peer has stolen the stale lock and CREATE_NEW'd a fresh
       // one at the same path — an unconditional delete here would remove

@@ -62,7 +62,14 @@ object Link {
     *        materialization. The fuzzy pass costs a checkpoint + several
     *        LSH jobs, so it must be opted into. There is no driver-side
     *        gate anywhere in it: an all-exact corpus is collapsed by AQE's
-    *        runtime empty-relation propagation instead.
+    *        runtime empty-relation propagation instead — which means the
+    *        zero-miss fast path REQUIRES `spark.sql.adaptive.enabled=true`
+    *        (the Spark 3.2+ default). With AQE disabled the output is still
+    *        correct, but the MinHashLSH fit, the alias-side hashing and the
+    *        full approxSimilarityJoin/anti-join machinery execute against an
+    *        empty miss side on every run; a warning is logged below so an
+    *        operator tuning configs doesn't silently lose the collapse
+    *        (ADVICE r6).
     */
   def run(mentions: Dataset[Mention], alias: DataFrame,
           fuzzyMaxJaccardDist: Double = 0.5, enableFuzzy: Boolean = false): Dataset[LinkedMention] = {
@@ -89,6 +96,14 @@ object Link {
       .withColumn("method", when(col("entity_id").isNotNull, lit("exact")))
 
     if (!enableFuzzy) return exactJoined.as[LinkedMention]
+
+    // the zero-miss collapse relies on AQE's empty-relation propagation —
+    // surface the dependency instead of silently paying the full LSH plan
+    if (!spark.conf.get("spark.sql.adaptive.enabled", "true").toBoolean)
+      System.err.println("[link] WARNING: spark.sql.adaptive.enabled=false — " +
+        "the fuzzy pass's zero-miss fast path depends on AQE empty-relation " +
+        "propagation; with AQE off the LSH machinery runs even when no " +
+        "mention misses the dictionary (correct output, avoidable cost)")
 
     // fuzzy pass: the exact result is evaluated by the miss probe below AND
     // by the output union — eager localCheckpoint so the upstream detect
