@@ -42,6 +42,30 @@ object Pipeline {
     // per row in Triples), never aliases.
     fits32 = true)
 
+  /** JVM-side mirror of `transcriptsConvCodec.encode` for the fused
+    * detect→packed path (`Triples.runFusedDetect` runs inside a typed
+    * mapPartitions, where a Catalyst Column cannot evaluate). Accepts
+    * EXACTLY the ids the rlike guard accepts — 8 digits, or 9–18 digits
+    * with no leading zero — and throws loudly otherwise, the same outcome
+    * as the Column path's raise_error. Round-trip equivalence with the
+    * Column encode is property-tested in PipelineSpec.
+    */
+  private[graft] val transcriptsConvEncodeJvm: String => Long = { s =>
+    val ok = s.length >= 13 && s.length <= 23 && s.startsWith("conv_") && {
+      var allDigits = true
+      var i = 5
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c < '0' || c > '9') allDigits = false
+        i += 1
+      }
+      allDigits && (s.length == 13 || s.charAt(5) != '0')
+    }
+    if (!ok) throw new IllegalStateException(
+      s"Triples.runEncoded: convCodec failed on: $s")
+    java.lang.Long.parseLong(s.substring(5))
+  }
+
   /** Lazily-built pipeline stages. Nothing runs at construction time: the
     * connected-components loop (which needs Spark actions of its own) only
     * executes when `canon`/`triples` is first touched, so a consumer of
@@ -65,12 +89,18 @@ object Pipeline {
         enableFuzzy = false).toDF()
     lazy val canon: DataFrame =
       Canon.run(linked.as[LinkedMention], Transcripts.sameAs.toDF("src", "dst")).toDF()
-    // sorted-exchange variant: measured fastest of the three exchange
-    // shapes at 18.2M turns / 32c (BENCH.md §Exchange: min 8.54 s vs 11.54
-    // collect_list/window, two sessions), bit-identical output
+    // fused detect→packed sorted exchange (round 7, VERDICT r6 item 1):
+    // the tagger emits Packed32 wire rows directly — no Mention string
+    // Dataset, no link/canon/rank broadcast joins in the hot chain.
+    // Output is bit-identical to the round-6 runEncodedSorted chain
+    // (equivalence-tested in PipelineSpec; q21–q24/q48 oracles unchanged).
+    // `mentions`/`linked`/`canon` above stay the mention-level API for the
+    // queries that consume those relations.
     lazy val triples: DataFrame = {
-      val t = Triples.runEncodedSorted(canon.as[CanonMention], Pipeline.transcriptsDict,
-        convCodec = Some(Pipeline.transcriptsConvCodec)).toDF()
+      val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
+      val t = Triples.runFusedDetect(turns, tagger, Transcripts.aliasRows,
+        Transcripts.sameAs, Pipeline.transcriptsDict,
+        Pipeline.transcriptsConvEncodeJvm, Pipeline.transcriptsConvCodec.decode).toDF()
       if (persistTriples) {
         val p = t.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         triplesPersisted = true
