@@ -66,6 +66,14 @@ object ExchangeAB {
       val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
       import spark.implicits._
       import org.apache.spark.sql.functions.{col, expr}
+      // "fused" (round 7, the Pipeline default): detect emits the Packed32
+      // wire rows directly — no Mention Dataset, no link/canon joins. Same
+      // exchange+walker as sorted32; upstream row plumbing removed.
+      if (variant == "fused")
+        return Triples.runFusedDetect(Transcripts.turns(spark, convs), tagger,
+          Transcripts.aliasRows, Transcripts.sameAs, Pipeline.transcriptsDict,
+          Pipeline.transcriptsConvEncodeJvm,
+          Pipeline.transcriptsConvCodec.decode).count()
       val canon0 = Canon.run(
         Link.run(Detect.run(Transcripts.turns(spark, convs), tagger),
           Transcripts.aliasRows.toDF()),
@@ -99,7 +107,8 @@ object ExchangeAB {
 
     val variants =
       if (args.length > 3) args(3).split(',').toSeq
-      else Seq("mention", "prepack", "sorted64", "sorted32", "uuidstr", "uuidhash")
+      else Seq("mention", "prepack", "sorted64", "sorted32", "fused",
+        "uuidstr", "uuidhash")
     // JIT/codegen warmup on ALL variants at 1/10 scale
     variants.foreach(chain(_, nConvs / 10))
     spark.catalog.clearCache()

@@ -180,8 +180,18 @@ object StreamBench {
         }
     }
 
-    val triples = graft.streaming.StreamingTriples
-      .assembleWithEviction(mentions, watermark = "30 seconds", idleGap = "15 seconds")
+    // SPARK_GRAFT_STREAM_STATE=plain: the string-state control leg. Default
+    // is the round-7 packed-state operator (entity ranks in the state store,
+    // packed-long rule evaluation) — the VERDICT r6 item-4 lever on the
+    // stateful-assembly ceiling the nodetect A/B pinned.
+    val stateMode = sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE", "packed")
+    val triples = stateMode match {
+      case "plain" => graft.streaming.StreamingTriples
+        .assembleWithEviction(mentions, watermark = "30 seconds", idleGap = "15 seconds")
+      case _ => graft.streaming.StreamingTriples
+        .assembleWithEvictionEncoded(mentions, graft.stages.Pipeline.transcriptsDict,
+          watermark = "30 seconds", idleGap = "15 seconds")
+    }
 
     // JIT warmup stream: without it the cold first batch accumulates a huge
     // rate-source backlog, collapsing the window into 2-3 giant batches and

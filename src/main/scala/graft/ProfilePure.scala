@@ -69,12 +69,19 @@ object ProfilePure {
         Transcripts.sameAs.toDF("src", "dst")), Pipeline.transcriptsDict,
         convCodec = Some(Pipeline.transcriptsConvCodec)).count()
     }
-    t("gen..triplesSrt") { // sorted-exchange walker (Pipeline default, r5)
+    t("gen..triplesSrt") { // sorted-exchange walker (Pipeline default r5-r6)
       val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
       Triples.runEncodedSorted(Canon.run(
         Link.run(Detect.run(Transcripts.turns(spark, nConvs), tagger), alias),
         Transcripts.sameAs.toDF("src", "dst")), Pipeline.transcriptsDict,
         convCodec = Some(Pipeline.transcriptsConvCodec)).count()
+    }
+    t("gen..triplesFus") { // fused detect→packed walker (Pipeline default, r7)
+      val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
+      Triples.runFusedDetect(Transcripts.turns(spark, nConvs), tagger,
+        Transcripts.aliasRows, Transcripts.sameAs, Pipeline.transcriptsDict,
+        Pipeline.transcriptsConvEncodeJvm,
+        Pipeline.transcriptsConvCodec.decode).count()
     }
     spark.stop()
   }

@@ -1046,7 +1046,7 @@ object Triples {
     }
   }
 
-  private val EmptyLongs = Array.empty[Long]
+  private[graft] val EmptyLongs = Array.empty[Long]
 
   /** Zero-copy unwrap of a Row's long-array column. PINNED ASSUMPTION: the
     * caller (`emitPacked`) sorts the returned array IN PLACE, which is safe
@@ -1132,7 +1132,7 @@ object Triples {
     * lengths). Appends to `out`; per-turn dedup via `dedup` (cleared here).
     * Rule order mirrors withinTurnTriples ++ followUps exactly.
     */
-  private def emitTurnRules(ms: Array[Long], msLen: Int,
+  private[graft] def emitTurnRules(ms: Array[Long], msLen: Int,
                             prev: Array[Long], prevLen: Int,
                             convId: String, turnIdx: Int,
                             ents: IndexedSeq[String],

@@ -159,6 +159,133 @@ object StreamingTriples {
       }
   }
 
+  /** A buffered turn in the PACKED state layout: event time + the turn's
+    * PER canonical ids as entity RANKS into the TripleDict (4-byte ints on
+    * the state-store wire instead of id strings).
+    */
+  final case class PackedTurnPers(ts: Long, pers: Seq[Int])
+
+  /** Packed per-conversation state — see [[assembleWithEvictionEncoded]]. */
+  final case class PackedBufState(turns: Map[Int, PackedTurnPers])
+
+  /** Dictionary-encoded variant of [[assembleWithEviction]] (VERDICT r6
+    * item 4): same handler logic, out-of-order semantics, pruning and
+    * timers, but the per-conversation state stores entity RANKS (ints)
+    * instead of canonical-id strings, and the per-turn rule evaluation runs
+    * on the batch path's packed mention longs (`Triples.emitTurnRules`) —
+    * label compares become int compares and subj/obj strings are shared
+    * references into the broadcast entity array. The round-6 `nodetect`
+    * A/B pinned the streaming ceiling on this stateful operator, so the
+    * bytes serialized into the state store per batch are the lever: a
+    * buffered turn's state row shrinks from one string per PER mention
+    * (~16–24 B each in UnsafeRow layout) to one int (4 B).
+    *
+    * Output is identical to [[assembleWithEviction]] (equivalence-tested in
+    * StreamingSpec). Requires the same dictionary premise as the batch
+    * encoded paths: every label and canonical id packable via `dict`
+    * (loud failure otherwise — never a silent drop), mention starts inside
+    * the packed layout's 23-bit bound. Use [[assembleWithEviction]] for
+    * corpora without a TripleDict.
+    */
+  def assembleWithEvictionEncoded(mentions: Dataset[TimedCanonMention],
+                                  dict: graft.stages.TripleDict,
+                                  watermark: String = "1 hour",
+                                  idleGap: String = "30 minutes"): Dataset[Triple] = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    val idleGapMs = parseDelayMs(idleGap)
+    val sc = spark.sparkContext
+    val bcEnts = sc.broadcast(dict.entities)
+    val bcEidRank = sc.broadcast(dict.entities.zipWithIndex.toMap)
+    val bcLbRank = sc.broadcast(dict.labels.zipWithIndex.toMap)
+    val perB = dict.rankOfLabel("PER")
+    val orgB = dict.rankOfLabel("ORG")
+    val locB = dict.rankOfLabel("LOC")
+
+    mentions.withWatermark("ts", watermark)
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (convId: String, rows: Iterator[TimedCanonMention], state: GroupState[PackedBufState]) =>
+          def prune(turns: Map[Int, PackedTurnPers], wm: Long): Map[Int, PackedTurnPers] =
+            if (wm <= 0) turns else turns.filter(_._2.ts + idleGapMs > wm)
+          def rearm(turns: Map[Int, PackedTurnPers]): Unit =
+            if (turns.nonEmpty)
+              state.setTimeoutTimestamp(turns.valuesIterator.map(_.ts).max, idleGap)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ents: IndexedSeq[String] =
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(bcEnts.value)
+            val eidRank = bcEidRank.value
+            val lbRank = bcLbRank.value
+            val dedup = new Triples.PairDedup
+            // packed follows_up — `Triples.followUps(...).distinct` on ranks:
+            // p outer / q inner in mention order, per-call dedup on the same
+            // (predId=3, subj, obj) key the batch walker uses
+            def followUpsPacked(out: scala.collection.mutable.ArrayBuffer[Triple],
+                                turnIdx: Int, cur: Seq[Int], prev: Seq[Int]): Unit = {
+              dedup.clear()
+              cur.foreach { p =>
+                prev.foreach { q =>
+                  if (p != q && dedup.add((3L << 62) | (p.toLong << 31) | q.toLong))
+                    out += Triple(ents(p), "follows_up", ents(q), convId, turnIdx)
+                }
+              }
+            }
+            var buf = prune(state.getOption.map(_.turns).getOrElse(Map.empty),
+              state.getCurrentWatermarkMs())
+            val out = new scala.collection.mutable.ArrayBuffer[Triple]()
+            val byTurn = rows.toSeq.groupBy(_.turn_idx).toSeq.sortBy(_._1)
+            byTurn.foreach { case (turnIdx, ms0) =>
+              val ts = ms0.iterator.map(_.ts.getTime).max
+              val ms = new Array[Long](ms0.length)
+              var i = 0
+              ms0.foreach { m =>
+                // same loud-failure contract as the batch encoded paths: an
+                // unpackable mention aborts, never silently drops
+                val lb = lbRank.getOrElse(m.label, -1)
+                if (lb < 0) throw new IllegalStateException(
+                  s"StreamingTriples encoded: label not in dict: ${m.label}")
+                val eid = eidRank.getOrElse(m.canonical_id, -1)
+                if (eid < 0) throw new IllegalStateException(
+                  s"StreamingTriples encoded: canonical_id not in dict: ${m.canonical_id}")
+                if (m.start < 0 || m.start >= Triples.MaxPackedStart)
+                  throw new IllegalStateException(
+                    s"StreamingTriples encoded: start outside [0, ${Triples.MaxPackedStart}) in $convId")
+                ms(i) = (m.start.toLong << 40) | (lb.toLong << 32) | eid.toLong
+                i += 1
+              }
+              // ascending packed sort == the batch sort_array order (rank
+              // packing preserves UTF-8 order; bit 63 always 0)
+              java.util.Arrays.sort(ms)
+              // within-turn rules via the ONE batch rule body (prev empty —
+              // cross-turn links go through the buffered-state lookups below)
+              Triples.emitTurnRules(ms, ms.length, Triples.EmptyLongs, 0,
+                convId, turnIdx, ents, perB, orgB, locB, dedup, out)
+              val pers: Seq[Int] = {
+                val b = Seq.newBuilder[Int]
+                ms.foreach { v =>
+                  if (((v >>> 32) & 0xff).toInt == perB) b += (v & 0xffffffffL).toInt
+                }
+                b.result()
+              }
+              buf.get(turnIdx - 1).foreach { prev =>
+                followUpsPacked(out, turnIdx, pers, prev.pers)
+              }
+              buf.get(turnIdx + 1).foreach { nxt =>
+                followUpsPacked(out, turnIdx + 1, nxt.pers, pers)
+              }
+              buf += turnIdx -> PackedTurnPers(ts, pers)
+            }
+            state.update(PackedBufState(buf))
+            rearm(buf)
+            out.iterator
+          }
+      }
+  }
+
   def assemble(mentions: Dataset[CanonMention]): Dataset[Triple] = {
     val spark = mentions.sparkSession
     import spark.implicits._

@@ -177,6 +177,66 @@ class StreamingTriplesSpec extends SparkSpecBase {
       s"out-of-order stream diverged from batch:\n  stream=$streamed\n  batch=$batch")
   }
 
+  test("packed-state eviction path ≡ string-state path (out-of-order + eviction scenarios)") {
+    import java.sql.Timestamp
+    import graft.streaming.StreamingTriples.TimedCanonMention
+    implicit val sqlCtx = spark.sqlContext
+    val dict = graft.stages.Pipeline.transcriptsDict
+    def tcm(conv: String, turn: Int, start: Int, label: String, canon: String,
+            minute: Int) =
+      TimedCanonMention(conv, turn, start, start + 3, label, "xxx", canon, canon,
+        Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00"))
+    // out-of-order turns, an idle conversation that gets evicted, and a late
+    // drop — the scenarios the two state layouts must agree on. Canonical
+    // ids come from the transcripts dict so the packed path can rank them.
+    val batches = Seq(
+      Seq(tcm("A", 2, 0, "PER", "PER02", 2), tcm("A", 2, 10, "PER", "PER03", 2)),
+      Seq(tcm("A", 0, 0, "PER", "PER00", 0), tcm("A", 0, 10, "ORG", "ORG00a", 0),
+        tcm("A", 0, 20, "LOC", "LOC01", 0)),
+      Seq(tcm("A", 3, 0, "PER", "PER04", 3)),
+      Seq(tcm("A", 1, 0, "PER", "PER01", 1)),
+      Seq(tcm("B", 0, 0, "PER", "PER05", 120)), // advances watermark far past A
+      Seq(tcm("B", 1, 0, "PER", "PER06", 121)), // fires A's eviction timer
+      Seq(tcm("A", 4, 0, "PER", "PER07", 125))) // A evicted: no follows_up to 3
+    def run(encoded: Boolean, name: String): Seq[(String, String, String, String, Int)] = {
+      val src = MemoryStream[TimedCanonMention]
+      val ds =
+        if (encoded) graft.streaming.StreamingTriples.assembleWithEvictionEncoded(
+          src.toDS(), dict, watermark = "10 minutes", idleGap = "5 minutes")
+        else graft.streaming.StreamingTriples.assembleWithEviction(
+          src.toDS(), watermark = "10 minutes", idleGap = "5 minutes")
+      val q = ds.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try batches.foreach { b => src.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      spark.sql(s"SELECT subj, pred, obj, conv_id, turn_idx FROM $name")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getInt(4))).sorted.toSeq
+    }
+    val plain = run(encoded = false, "pk_plain")
+    val packed = run(encoded = true, "pk_packed")
+    assert(plain.nonEmpty && plain.exists(_._2 == "follows_up"))
+    assert(packed == plain, s"packed state diverged:\n  packed=$packed\n  plain=$plain")
+  }
+
+  test("packed-state path fails LOUDLY on a canonical id outside the dict") {
+    import java.sql.Timestamp
+    import graft.streaming.StreamingTriples.TimedCanonMention
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[TimedCanonMention]
+    src.addData(TimedCanonMention("A", 0, 0, 3, "PER", "xxx", "ZZZ99", "ZZZ99",
+      Timestamp.valueOf("2024-01-01 10:00:00")))
+    val q = graft.streaming.StreamingTriples.assembleWithEvictionEncoded(
+        src.toDS(), graft.stages.Pipeline.transcriptsDict)
+      .writeStream.format("memory").queryName("pk_loud").outputMode("append").start()
+    val e = intercept[Exception] { try q.processAllAvailable() finally q.stop() }
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs(e).exists(_.contains("canonical_id not in dict")),
+      s"got: ${msgs(e)}")
+  }
+
   test("streaming triples equal batch triples on a full replayed corpus") {
     implicit val sqlCtx = spark.sqlContext
     val r = graft.stages.Pipeline.run(spark, 25)
