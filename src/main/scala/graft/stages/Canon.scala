@@ -224,6 +224,33 @@ object Canon {
     EdgeChecksum(r.getLong(0), r.getDecimal(1), r.getDecimal(2))
   }
 
+  /** Fused canonicalization (round 7) for a DRIVER-SIZED same-as pair list:
+    * one typed map over the linked relation probing the union-find's
+    * canonical map — no CC jobs, no join, no probe. EXACTLY
+    * `run(linked, sameAs.toDF)` for any broadcast-sized graph
+    * (equivalence-tested in PipelineSpec): same union-find + UTF-8-min
+    * election (`localCanonicalMap` backs the CC fast path too), vertices
+    * outside the graph canonicalize to themselves, NIL stays null. `run`
+    * remains the API when the same-as relation is a DataFrame of unknown
+    * size (it routes through the gated distributed/star loop).
+    */
+  def runFusedLinked(linked: Dataset[LinkedMention],
+                     sameAsPairs: Seq[(String, String)]): Dataset[CanonMention] = {
+    val spark = linked.sparkSession
+    import spark.implicits._
+    val bcMap = spark.sparkContext.broadcast(localCanonicalMap(sameAsPairs))
+    linked.mapPartitions { it =>
+      val cm = bcMap.value
+      it.map { m =>
+        val canon =
+          if (m.entity_id == null) null
+          else cm.getOrElse(m.entity_id, m.entity_id)
+        CanonMention(m.conv_id, m.turn_idx, m.start, m.end, m.label,
+          m.surface, m.entity_id, canon)
+      }
+    }
+  }
+
   /** Resolve linked mentions to canonical ids. Vertices absent from the
     * same-as graph canonicalize to themselves; NIL mentions stay null.
     *

@@ -26,6 +26,60 @@ object Link {
   private val NGram = 3
   private val LshSeed = 42L
 
+  /** The engine's own `lower()`: UTF8String.toLowerCase, NOT
+    * String.toLowerCase — the fused paths' LUT keys must match
+    * `lower(col("surface"))` byte-for-byte.
+    */
+  private[graft] def lowerUtf8(s: String): String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s).toLowerCase.toString
+
+  /** Driver-side mirror of `aliasNorm` (the exact-link election below):
+    * (label + NUL + lower(surface)) → min(entity_id) under Spark's binary
+    * string min (`TripleDict.utf8Order`). NUL-joined keys are unambiguous
+    * because labels cannot contain NUL. Shared by the fused detect→link
+    * emit and `Triples.runFusedDetect`'s rank LUT.
+    */
+  private[graft] def aliasLut(alias: Seq[AliasRow]): java.util.HashMap[String, String] = {
+    val lut = new java.util.HashMap[String, String](alias.size * 2)
+    alias.groupBy(r => (lowerUtf8(r.surface), r.label)).foreach {
+      case ((low, label), rows) =>
+        lut.put(label + "\u0000" + low,
+          rows.map(_.entity_id).min(TripleDict.utf8Order))
+    }
+    lut
+  }
+
+  /** Fused detect→link (round 7): emits `LinkedMention` rows straight from
+    * the tagger's span loop via the driver-built `aliasLut` — no Mention
+    * Dataset between the stages and no broadcast-join machinery, while
+    * producing EXACTLY `Link.run(Detect.run(turns, tagger), alias,
+    * enableFuzzy = false)` (equivalence-tested in PipelineSpec): the same
+    * min-entity election on the same engine-collation lowered key, misses →
+    * NIL (entity_id null, method null), hits → method "exact". The premise
+    * (alias dictionary is broadcast-sized) is the same one `run`'s
+    * broadcast hint already relies on. The staged stages remain the API
+    * wherever the mention relation itself is consumed or fuzzy recovery is
+    * wanted.
+    */
+  def runFusedDetect(turns: Dataset[Turn],
+      tagger: org.apache.spark.broadcast.Broadcast[MentionTagger],
+      alias: Seq[AliasRow]): Dataset[LinkedMention] = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val bcLut = spark.sparkContext.broadcast(aliasLut(alias))
+    turns.mapPartitions { it =>
+      val tg = tagger.value
+      val lut = bcLut.value
+      Detect.spanPartition(it, tg).flatMap { case (turn, spans) =>
+        spans.iterator.map { sp =>
+          val eid = lut.get(sp.label + "\u0000" + lowerUtf8(sp.surface))
+          LinkedMention(turn.conv_id, turn.turn_idx, sp.start, sp.end,
+            sp.label, sp.surface, eid, if (eid != null) "exact" else null)
+        }
+      }
+    }
+  }
+
   def charNGrams(s: String, n: Int = NGram): Seq[String] = {
     if (s.length < n) Seq(s) else s.sliding(n).toSeq
   }

@@ -77,18 +77,19 @@ object Pipeline {
                      persistTriples: Boolean = true) {
     import spark.implicits._
     lazy val turns: Dataset[Turn] = Transcripts.turns(spark, nConvs, seed)
-    lazy val mentions: DataFrame = {
-      val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
-      Detect.run(turns, tagger).toDF()
-    }
-    // exact-only linking in the hot path: the whole pipeline stays ONE
-    // Spark action (no mid-plan probe, no cache materialization); fuzzy
-    // NIL-recovery is a separate stage (see runWithSnapshots / Link.run)
+    private lazy val tagger =
+      Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
+    lazy val mentions: DataFrame = Detect.run(turns, tagger).toDF()
+    // exact-only linking in the hot path, FUSED since round 7: the linked
+    // and canon relations are emitted straight from the tagger + driver
+    // LUTs (no Mention Dataset, no broadcast joins, no CC jobs) — output
+    // identical to the staged Link.run/Canon.run chain (equivalence-tested
+    // in PipelineSpec; q22/q36/q48 oracles unchanged). Fuzzy NIL-recovery
+    // stays a separate staged pass (see runWithSnapshots / Link.run).
     lazy val linked: DataFrame =
-      Link.run(mentions.as[Mention], Transcripts.aliasRows.toDF(),
-        enableFuzzy = false).toDF()
+      Link.runFusedDetect(turns, tagger, Transcripts.aliasRows).toDF()
     lazy val canon: DataFrame =
-      Canon.run(linked.as[LinkedMention], Transcripts.sameAs.toDF("src", "dst")).toDF()
+      Canon.runFusedLinked(linked.as[LinkedMention], Transcripts.sameAs).toDF()
     // fused detect→packed sorted exchange (round 7, VERDICT r6 item 1):
     // the tagger emits Packed32 wire rows directly — no Mention string
     // Dataset, no link/canon/rank broadcast joins in the hot chain.
@@ -97,7 +98,6 @@ object Pipeline {
     // `mentions`/`linked`/`canon` above stay the mention-level API for the
     // queries that consume those relations.
     lazy val triples: DataFrame = {
-      val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
       val t = Triples.runFusedDetect(turns, tagger, Transcripts.aliasRows,
         Transcripts.sameAs, Pipeline.transcriptsDict,
         Pipeline.transcriptsConvEncodeJvm, Pipeline.transcriptsConvCodec.decode).toDF()

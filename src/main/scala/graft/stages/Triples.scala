@@ -609,7 +609,7 @@ object Triples {
         var sp = spans
         while (sp.nonEmpty) {
           val s = sp.head
-          val v = lut.get(s.label + "\u0000" + lowerUtf8(s.surface))
+          val v = lut.get(s.label + "\u0000" + Link.lowerUtf8(s.surface))
           if (v != null) { // dictionary miss → NIL → no triple source
             if (s.start < 0 || s.start >= MaxPackedStart)
               throw new IllegalStateException(
@@ -653,41 +653,29 @@ object Triples {
         rules, bcEnts))
   }
 
-  /** The engine's own `lower()`: UTF8String.toLowerCase, NOT
-    * String.toLowerCase — the fused LUT must match `Link`'s
-    * `lower(col("surface"))` join key byte-for-byte.
-    */
-  private def lowerUtf8(s: String): String =
-    org.apache.spark.unsafe.types.UTF8String.fromString(s).toLowerCase.toString
-
   /** Driver-side composition of link ∘ canon ∘ rank-encode for the fused
-    * path: (label + NUL + lower(surface)) → boxed (labelRank<<32 |
-    * entityRank). NUL-joined keys are unambiguous because labels cannot
-    * contain NUL (they come from the ≤256-entry label vocabulary). Builds
-    * loudly: a canonical id or label outside `dict` fails HERE (construction)
-    * — the same condition the encoded path's raise_error guards catch at
-    * runtime, caught earlier.
+    * path: `Link.aliasLut`'s (label + NUL + lower(surface)) → min-entity
+    * election, canonicalized through `Canon.localCanonicalMap`'s union-find,
+    * encoded to boxed (labelRank<<32 | entityRank). Builds loudly: a
+    * canonical id or label outside `dict` fails HERE (construction) — the
+    * same condition the encoded path's raise_error guards catch at runtime,
+    * caught earlier.
     */
   private def fusedLut(alias: Seq[AliasRow], sameAsPairs: Seq[(String, String)],
                        dict: TripleDict): java.util.HashMap[String, java.lang.Long] = {
     val canonMap = Canon.localCanonicalMap(sameAsPairs)
     val entityRank: Map[String, Int] = dict.entities.zipWithIndex.toMap
     val lut = new java.util.HashMap[String, java.lang.Long](alias.size * 2)
-    alias
-      .groupBy(r => (lowerUtf8(r.surface), r.label))
-      .foreach { case ((lowSurface, label), rows) =>
-        // Link.aliasNorm's election: min(entity_id) under Spark's binary
-        // string min — TripleDict.utf8Order by construction
-        val entity = rows.map(_.entity_id).min(TripleDict.utf8Order)
-        val canonical = canonMap.getOrElse(entity, entity)
-        val lb = dict.rankOfLabel(label)
-        require(lb >= 0, s"Triples.runFusedDetect: label not in dict: $label")
-        val eid = entityRank.getOrElse(canonical, -1)
-        require(eid >= 0,
-          s"Triples.runFusedDetect: canonical_id not in dict: $canonical")
-        lut.put(label + "\u0000" + lowSurface,
-          java.lang.Long.valueOf((lb.toLong << 32) | eid.toLong))
-      }
+    Link.aliasLut(alias).forEach { (key, entity) =>
+      val canonical = canonMap.getOrElse(entity, entity)
+      val label = key.substring(0, key.indexOf('\u0000'))
+      val lb = dict.rankOfLabel(label)
+      require(lb >= 0, s"Triples.runFusedDetect: label not in dict: $label")
+      val eid = entityRank.getOrElse(canonical, -1)
+      require(eid >= 0,
+        s"Triples.runFusedDetect: canonical_id not in dict: $canonical")
+      lut.put(key, java.lang.Long.valueOf((lb.toLong << 32) | eid.toLong))
+    }
     lut
   }
 

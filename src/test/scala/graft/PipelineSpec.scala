@@ -162,6 +162,28 @@ class PipelineSpec extends SparkSpecBase {
     assert(sorted(result.triples.as[Triple]) == viaChain)
   }
 
+  test("fused linked/canon relations ≡ staged Link.run/Canon.run (round-7 Result wiring)") {
+    import spark.implicits._
+    val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
+    val stagedLinked = Link.run(
+      Detect.run(result.turns, tagger), Transcripts.aliasRows.toDF(),
+      enableFuzzy = false)
+    def lk(d: org.apache.spark.sql.Dataset[LinkedMention]) =
+      d.collect().toSeq.sortBy(m => (m.conv_id, m.turn_idx, m.start, m.label))
+    val fusedLinked = Link.runFusedDetect(result.turns, tagger, Transcripts.aliasRows)
+    assert(lk(fusedLinked) == lk(stagedLinked))
+    assert(lk(result.linked.as[LinkedMention]) == lk(stagedLinked))
+    val stagedCanon = Canon.run(stagedLinked, Transcripts.sameAs.toDF("src", "dst"))
+    def ck(d: org.apache.spark.sql.Dataset[CanonMention]) =
+      d.collect().toSeq.sortBy(m => (m.conv_id, m.turn_idx, m.start, m.label))
+    assert(ck(Canon.runFusedLinked(stagedLinked, Transcripts.sameAs)) == ck(stagedCanon))
+    assert(ck(result.canon.as[CanonMention]) == ck(stagedCanon))
+    // NIL propagation: an unlinkable mention keeps null entity AND canonical
+    val nil = Seq(LinkedMention("c", 0, 0, 3, "PER", "nope", null, null)).toDS()
+    val c = Canon.runFusedLinked(nil, Transcripts.sameAs).collect()
+    assert(c.head.entity_id == null && c.head.canonical_id == null)
+  }
+
   test("JVM conv encode ≡ Column conv encode on boundary ids (fused-path codec mirror)") {
     import spark.implicits._
     val ids = Seq(
