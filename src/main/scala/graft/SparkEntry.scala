@@ -356,11 +356,13 @@ object SparkEntry {
         .select(col("word"), col("pretrained")).orderBy(col("word"))
     }),
     "q34_augment_expansion" -> ((s, dir) => {
-      import s.implicits._
       val turns = Transcripts.turns(s, math.max(20L, convsFor(dir) / 10))
       val tagger = Detect.lexiconTagger(s, Transcripts.aliasRows, Transcripts.tagSet)
-      val mentions = Detect.run(turns, tagger).toDF()
-      graft.ops.Augment.expandByReplacement(turns, mentions, copies = Q34Copies)
+      // round 7: fused expansion — mention lists come straight from the
+      // tagger, dropping the mention shuffle/join/checkpoint; output is
+      // IDENTICAL to expandByReplacement over Detect.run (equivalence-
+      // tested in AugmentSpec; the full splitmix64 SQL oracle is unchanged)
+      graft.ops.Augment.expandDetected(turns, tagger, copies = Q34Copies)
         .groupBy(col("attempt")).agg(count(lit(1)).as("n_expanded"))
         .orderBy(col("attempt"))
     }),

@@ -83,40 +83,85 @@ object Augment {
         val text = row.getAs[String]("text")
         val ms = row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("ms"))
           .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3)))
-        val dict = collB.value
-        (1 to copies).iterator.flatMap { attempt =>
-          val sb = new StringBuilder
-          var last = 0
-          var changed = false
-          val prov = scala.collection.mutable.ListBuffer.empty[(Int, Int, String)]
-          for (((start, end, label, surface), k) <- ms.zipWithIndex) {
-            // mentions from arbitrary sources may overlap (Detect's never
-            // do); an overlapping span cannot be spliced into the rebuilt
-            // text — skip it rather than corrupt offsets or crash
-            if (start >= last) {
-              sb.append(text.substring(last, start))
-              // pool key uses CODEPOINT length — labelCollection buckets by
-              // SQL length() (codepoints, = Python len()); String.length is
-              // UTF-16 units and diverges on non-BMP chars
-              val pool = dict.getOrElse(
-                (label, surface.codePointCount(0, surface.length)), Vector(surface))
-              val pick = pool((((mix(convId.hashCode.toLong ^ (turnIdx.toLong << 20)
-                ^ (attempt.toLong << 40) ^ k.toLong) >>> 1) % pool.length).toInt))
-              if (pick != surface) changed = true
-              prov += ((sb.length, sb.length + pick.length, surface))
-              sb.append(pick)
-              last = end
-            }
-          }
-          sb.append(text.substring(last))
-          // reference dedups replacements identical to the origin
-          // (expand_data.py:102-109 "except" semantics)
-          if (changed)
-            Some((convId, turnIdx, attempt, sb.result(),
-              prov.toSeq.map(p => s"${p._1}:${p._2}<-${p._3}")))
-          else None
-        }
+        expandOne(convId, turnIdx, text, ms, collB.value, copies)
       }.toDF("conv_id", "turn_idx", "attempt", "text", "provenance")
+  }
+
+  /** The ONE expansion body shared by `expandByReplacement` and
+    * `expandDetected`: `ms` must be the turn's mentions in the batch
+    * sort_array order (ascending (start, end, label, surface)).
+    */
+  private def expandOne(convId: String, turnIdx: Int, text: String,
+      ms: Seq[(Int, Int, String, String)],
+      dict: Map[(String, Int), Vector[String]],
+      copies: Int): Iterator[(String, Int, Int, String, Seq[String])] =
+    (1 to copies).iterator.flatMap { attempt =>
+      val sb = new StringBuilder
+      var last = 0
+      var changed = false
+      val prov = scala.collection.mutable.ListBuffer.empty[(Int, Int, String)]
+      for (((start, end, label, surface), k) <- ms.zipWithIndex) {
+        // mentions from arbitrary sources may overlap (Detect's never
+        // do); an overlapping span cannot be spliced into the rebuilt
+        // text — skip it rather than corrupt offsets or crash
+        if (start >= last) {
+          sb.append(text.substring(last, start))
+          // pool key uses CODEPOINT length — labelCollection buckets by
+          // SQL length() (codepoints, = Python len()); String.length is
+          // UTF-16 units and diverges on non-BMP chars
+          val pool = dict.getOrElse(
+            (label, surface.codePointCount(0, surface.length)), Vector(surface))
+          val pick = pool((((mix(convId.hashCode.toLong ^ (turnIdx.toLong << 20)
+            ^ (attempt.toLong << 40) ^ k.toLong) >>> 1) % pool.length).toInt))
+          if (pick != surface) changed = true
+          prov += ((sb.length, sb.length + pick.length, surface))
+          sb.append(pick)
+          last = end
+        }
+      }
+      sb.append(text.substring(last))
+      // reference dedups replacements identical to the origin
+      // (expand_data.py:102-109 "except" semantics)
+      if (changed)
+        Some((convId, turnIdx, attempt, sb.result(),
+          prov.toSeq.map(p => s"${p._1}:${p._2}<-${p._3}")))
+      else None
+    }
+
+  /** Fused expansion (round 7): identical output to
+    * `expandByReplacement(turns, Detect.run(turns, tagger), copies, maxPool)`
+    * — equivalence-tested in AugmentSpec — but the per-turn mention lists
+    * come straight from the tagger (`Detect.spanPartition`), so the mention
+    * shuffle, the turns⋈perTurn join, the persist and the eager checkpoint
+    * all drop out of the plan. Detection runs twice (once feeding the pool
+    * aggregate, once in the expansion pass); measured cheaper than
+    * materializing + shuffling + joining the mention relation. Ordering
+    * equivalence: detect spans are non-overlapping, so ascending start (the
+    * tagger's emission order) IS the batch `sort_array` order the seeded
+    * per-mention draw index `k` depends on.
+    */
+  def expandDetected(turns: Dataset[Turn],
+      tagger: org.apache.spark.broadcast.Broadcast[graft.stages.MentionTagger],
+      copies: Int = 1, maxPool: Int = 10000): DataFrame = {
+    val spark = turns.sparkSession
+    import spark.implicits._
+    val pools = turns.mapPartitions { it =>
+      graft.stages.Detect.spanPartition(it, tagger.value).flatMap {
+        case (_, spans) => spans.iterator.map(sp => (sp.label, sp.surface))
+      }
+    }.toDF("label", "surface")
+    val coll = labelCollection(pools, maxPool).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getSeq[String](2).toVector).toMap
+    val collB = spark.sparkContext.broadcast(coll)
+    turns.mapPartitions { it =>
+      val dict = collB.value
+      graft.stages.Detect.spanPartition(it, tagger.value).flatMap {
+        case (turn, spans) =>
+          if (spans.isEmpty) Iterator.empty
+          else expandOne(turn.conv_id, turn.turn_idx, turn.text,
+            spans.map(sp => (sp.start, sp.end, sp.label, sp.surface)), dict, copies)
+      }
+    }.toDF("conv_id", "turn_idx", "attempt", "text", "provenance")
   }
 
   /** Self-labeling of a vocabulary (`t1.py:154-175`): run the mention

@@ -286,14 +286,23 @@ object Eval {
                     typeCol: String = "label"): DataFrame = {
     require(keys.contains(typeCol),
       s"perTypeReport groups by '$typeCol', which must be one of the keys $keys")
-    val p = pred.select(keys.map(col): _*).distinct()
-    val g = gold.select(keys.map(col): _*).distinct()
-    val joinKeys = keys
-    val both = p.withColumn("in_pred", lit(1))
-      .join(g.withColumn("in_gold", lit(1)), joinKeys, "full_outer")
-      .select(col(typeCol).as("label"),
-        coalesce(col("in_pred"), lit(0)).as("in_pred"),
-        coalesce(col("in_gold"), lit(0)).as("in_gold"))
+    // ONE union + groupBy replaces the old per-side distinct()s AND the
+    // 5-key full_outer join (guide-§2.4 shape: 3 hash exchanges of the full
+    // key tuples → 1; plan diff in plans/r07/q36_*). max(flag) per side
+    // subsumes the distincts; presence of both flags IS the join match.
+    // Exact-equivalence corner preserved: a SQL join never matches rows on
+    // NULL keys, while groupBy groups NULLs as equal — `_nullSide` splits
+    // null-key rows back apart by side (empty for fully-non-null keys, so
+    // real span/triple rows group exactly as before). Pinned against a
+    // reference full_outer implementation in EvalSpec.
+    val nullSide = when(keys.map(col(_).isNull).reduce(_ || _), col("_side"))
+      .otherwise(lit(""))
+    val both = pred.select(keys.map(col): _*).withColumn("_side", lit("p"))
+      .unionByName(gold.select(keys.map(col): _*).withColumn("_side", lit("g")))
+      .groupBy(keys.map(col) :+ nullSide.as("_nullSide"): _*)
+      .agg(max(when(col("_side") === "p", 1).otherwise(0)).as("in_pred"),
+        max(when(col("_side") === "g", 1).otherwise(0)).as("in_gold"))
+      .select(col(typeCol).as("label"), col("in_pred"), col("in_gold"))
     both.rollup(col("label"))
       .agg(sum(col("in_pred") * col("in_gold")).as("n_match"),
         sum(col("in_pred")).as("n_pred"),

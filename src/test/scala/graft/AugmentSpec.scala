@@ -46,6 +46,19 @@ class AugmentSpec extends SparkSpecBase {
     assert(joined.filter(col("text") === col("orig")).count() == 0)
   }
 
+  test("fused expansion ≡ expandByReplacement over Detect.run (round-7 q34 path)") {
+    val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("conv_id", "turn_idx", "attempt").collect().map(_.toString).toSeq
+    val staged = rows(Augment.expandByReplacement(turns, mentions, copies = 2))
+    val fused = rows(Augment.expandDetected(turns, tagger, copies = 2))
+    assert(staged.nonEmpty && fused == staged)
+    // the fused plan carries no join and no mention exchange
+    val plan = Augment.expandDetected(turns, tagger, copies = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"fused expansion must not join:\n$plan")
+  }
+
   test("expanded copies still parse: re-detection finds same span structure") {
     val exp = Augment.expandByReplacement(turns, mentions, copies = 1)
     val tagger = Detect.lexiconTagger(spark, Transcripts.aliasRows, Transcripts.tagSet)
@@ -125,5 +138,43 @@ class EvalReportSpec extends SparkSpecBase {
     val gold = Transcripts.goldMentions(spark, 40).toDF()
     val rep = Eval.perTypeReport(r.mentions, gold)
     assert(rep.filter(col("f1") < 1.0).count() == 0)
+  }
+
+  test("single-exchange report ≡ reference distinct+full_outer (incl. null keys, dupes)") {
+    import org.apache.spark.sql.DataFrame
+    // the round-7 union+groupBy rewrite must reproduce the old
+    // distinct+full_outer implementation EXACTLY — including the SQL-join
+    // corner where NULL keys never match (each side keeps its own row)
+    // and input duplicates (collapsed by the per-side distinct)
+    def reference(pred: DataFrame, gold: DataFrame, keys: Seq[String],
+                  typeCol: String): DataFrame = {
+      val p = pred.select(keys.map(col): _*).distinct()
+      val g = gold.select(keys.map(col): _*).distinct()
+      p.withColumn("in_pred", lit(1))
+        .join(g.withColumn("in_gold", lit(1)), keys, "full_outer")
+        .select(col(typeCol).as("label"),
+          coalesce(col("in_pred"), lit(0)).as("in_pred"),
+          coalesce(col("in_gold"), lit(0)).as("in_gold"))
+        .rollup(col("label"))
+        .agg(sum(col("in_pred") * col("in_gold")).as("n_match"),
+          sum(col("in_pred")).as("n_pred"),
+          sum(col("in_gold")).as("n_gold"))
+    }
+    val rnd = new scala.util.Random(77)
+    def corpus() = Seq.fill(60)((
+        s"c${rnd.nextInt(3)}", rnd.nextInt(3), rnd.nextInt(4), rnd.nextInt(4),
+        if (rnd.nextInt(6) == 0) null else Seq("PER", "ORG", "LOC")(rnd.nextInt(3))))
+      .toDF("conv_id", "turn_idx", "start", "end", "label")
+    val pred = corpus(); val gold = corpus()
+    def key(r: org.apache.spark.sql.Row) =
+      (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3))
+    val got = Eval.perTypeReport(pred, gold)
+      .select("label", "n_match", "n_pred", "n_gold").collect().map(key).sorted.toSeq
+    val want = reference(pred, gold, Eval.spanKeys, "label")
+      .select("label", "n_match", "n_pred", "n_gold").collect().map(key).sorted.toSeq
+    assert(got.nonEmpty && got == want, s"\n got=$got\nwant=$want")
+    // and the plan actually dropped the join: ONE union-side aggregate, no Join
+    val plan = Eval.perTypeReport(pred, gold).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"report must not join:\n$plan")
   }
 }
