@@ -310,8 +310,16 @@ object Dedup {
     a.join(b, Seq("band", "key")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int").as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct: hamming is a pure function of (a, b) —
+      // a pair carries the same sketches in every band it collides in — so
+      // the two orders are set-identical, and filtering first keeps
+      // beyond-cutoff candidates out of the distinct's exchange (shuffle
+      // fewer bytes). Wall-neutral on the template-heavy bench corpus,
+      // where most band collisions ARE within the cutoff; on a corpus with
+      // loose bands (small maxHamming, diverse near-collisions) the cut is
+      // the candidate volume itself. Pinned by the q16b oracle.
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding-cosine near-dup pairs over (vec_id, embedding array<float>):
